@@ -1,0 +1,167 @@
+"""Device-resident exact flat indexes: L2 and Hamming.
+
+The TPU-native replacement for the reference's FAISS surface:
+  - ``faiss.IndexFlatL2(d)`` + ``.add`` + ``.search``  -> ``FlatL2Index``
+    (build_ref_db_l2.py:86-93, test_faiss.py:118-135,
+     src/dataset/rag_train_dataset.py:129-137)
+  - ``faiss.IndexBinaryFlat`` over np.packbits haplotypes -> ``HammingIndex``
+    (test_faiss_intersect.py:164-183)
+  - ``faiss.write_index``/``read_index`` -> ``save``/``load`` (npz shards)
+  - "GPU transfer" (``index_cpu_to_gpu``, embedding_rag_infer_dataset.py:
+    209-224) -> a plain ``jax.device_put``; the index lives in HBM.
+
+"Build" is trivial by design: an exact flat index is just the vector matrix
+plus cached squared norms — one ``device_put`` and one reduction, so
+chromosome-scale rebuild is bandwidth-bound (BASELINE.md target: < 30 s).
+
+The masked-query mode replaces the reference's rebuild-per-mask pattern
+(partial_faiss_intersect.py:82-111): instead of dropping masked columns and
+re-adding all vectors to a temporary index, we correct the norms with one
+matmul and search the same resident index.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops import l2_ref
+from ..ops.l2_topk_pallas import l2_topk_pallas
+
+
+def _on_tpu(x: jax.Array) -> bool:
+    """True if the array is committed/placed on a TPU device (the Pallas
+    kernel path); CPU-resident arrays use the XLA reference path."""
+    dev = getattr(x, "device", None)
+    if dev is None:
+        return jax.default_backend() == "tpu"
+    platform = getattr(dev, "platform", None)
+    if platform is None:  # Sharding object
+        try:
+            platform = next(iter(dev.device_set)).platform
+        except Exception:
+            return jax.default_backend() == "tpu"
+    return platform == "tpu"
+
+
+@struct.dataclass
+class FlatL2Index:
+    """Exact squared-L2 flat index resident in device memory.
+
+    ``vectors``: [N, d]; ``norms``: [N] f32 squared norms (+inf marks rows
+    that must never be retrieved — used for padding and tombstones).
+    """
+
+    vectors: jax.Array
+    norms: jax.Array
+
+    @property
+    def ntotal(self) -> int:
+        return self.vectors.shape[0]
+
+    @property
+    def d(self) -> int:
+        return self.vectors.shape[1]
+
+    @classmethod
+    def build(cls, vectors, dtype=jnp.float32) -> "FlatL2Index":
+        v = jnp.asarray(vectors, dtype=dtype)
+        return cls(vectors=v, norms=l2_ref.squared_norms(v))
+
+    def search(self, queries: jax.Array, k: int,
+               use_pallas: bool | None = None) -> tuple[jax.Array, jax.Array]:
+        """k-NN search -> (squared dists [B,k], ids [B,k]), ascending.
+
+        ``use_pallas=None`` auto-selects: the fused kernel on TPU, the XLA
+        reference path elsewhere (CPU tests, interpret-free).
+        """
+        q = jnp.asarray(queries, dtype=self.vectors.dtype)
+        if use_pallas is None:
+            use_pallas = _on_tpu(self.vectors)
+        if use_pallas:
+            return l2_topk_pallas(q, self.vectors, self.norms, k)
+        d = l2_ref.l2_distances(q, self.vectors, r_norms=self.norms)
+        return l2_ref.topk_smallest(d, k)
+
+    def masked_search(self, queries: jax.Array, dim_mask: jax.Array, k: int,
+                      use_pallas: bool | None = None
+                      ) -> tuple[jax.Array, jax.Array]:
+        """Exact k-NN over the unmasked subset of dimensions.
+
+        ``dim_mask``: [d] with 1 = dimension participates.  Equivalent to
+        the reference's drop-masked-columns + temporary index
+        (partial_faiss_intersect.py:82-111) without any rebuild: queries are
+        masked elementwise and reference norms are corrected by the matmul
+        ``(R*R) @ m``; the resident index is searched as-is (masked query
+        dims contribute q_i = 0 and the corrected norms remove r_i^2 terms).
+        """
+        m = dim_mask.astype(self.vectors.dtype)
+        qm = jnp.asarray(queries, dtype=self.vectors.dtype) * m[None, :]
+        rf = self.vectors.astype(jnp.float32)
+        masked_norms = jnp.dot(rf * rf, m.astype(jnp.float32),
+                               preferred_element_type=jnp.float32)
+        # Preserve tombstones: +inf rows stay +inf under the mask.
+        masked_norms = jnp.where(jnp.isinf(self.norms), jnp.inf, masked_norms)
+        if use_pallas is None:
+            use_pallas = _on_tpu(self.vectors)
+        if use_pallas:
+            return l2_topk_pallas(qm, self.vectors, masked_norms, k)
+        d = l2_ref.l2_distances(qm, self.vectors, r_norms=masked_norms)
+        return l2_ref.topk_smallest(d, k)
+
+    # ---- persistence (replaces faiss.write_index / read_index) ----
+
+    def save(self, path: str) -> None:
+        np.savez(path, vectors=np.asarray(self.vectors),
+                 norms=np.asarray(self.norms))
+
+    @classmethod
+    def load(cls, path: str, device=None) -> "FlatL2Index":
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        v = jax.device_put(z["vectors"], device)
+        n = jax.device_put(z["norms"], device)
+        return cls(vectors=v, norms=n)
+
+
+@struct.dataclass
+class HammingIndex:
+    """Exact Hamming-distance flat index over bit-packed haplotypes.
+
+    Stores uint32 words (LSB-first packing, ops/l2_ref.pack_bits); distance
+    is XOR + popcount on the VPU.  Replaces faiss.IndexBinaryFlat
+    (test_faiss_intersect.py:164-183).
+    """
+
+    packed: jax.Array   # [N, ceil(d/32)] uint32
+    valid: jax.Array    # [N] bool — False rows never retrieved
+
+    @property
+    def ntotal(self) -> int:
+        return self.packed.shape[0]
+
+    @classmethod
+    def build(cls, bits) -> "HammingIndex":
+        """``bits``: [N, d] 0/1 array (unpacked)."""
+        packed = l2_ref.pack_bits(jnp.asarray(bits))
+        return cls(packed=packed,
+                   valid=jnp.ones(packed.shape[0], dtype=bool))
+
+    def search(self, query_bits: jax.Array, k: int
+               ) -> tuple[jax.Array, jax.Array]:
+        qp = l2_ref.pack_bits(jnp.asarray(query_bits))
+        d = l2_ref.hamming_distances(qp, self.packed)
+        d = jnp.where(self.valid[None, :], d, jnp.iinfo(jnp.int32).max)
+        return l2_ref.topk_smallest(d, k)
+
+    def save(self, path: str) -> None:
+        np.savez(path, packed=np.asarray(self.packed),
+                 valid=np.asarray(self.valid))
+
+    @classmethod
+    def load(cls, path: str, device=None) -> "HammingIndex":
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        return cls(packed=jax.device_put(z["packed"], device),
+                   valid=jax.device_put(z["valid"], device))

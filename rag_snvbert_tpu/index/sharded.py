@@ -1,0 +1,110 @@
+"""Mesh-sharded flat L2 index: per-shard top-k + cross-chip merge over ICI.
+
+This is the distributed component the reference never had (SURVEY.md
+section 2.2 "Distributed communication backend: none... a first-class new
+component, not a port"): reference-panel rows are sharded across the mesh's
+``index`` axis, each chip searches its resident shard with the fused Pallas
+kernel (ops/l2_topk_pallas.py), per-shard candidates carry *global* row ids,
+and an ``all_gather`` of the tiny [B, k] candidate sets over ICI feeds a
+final top-k merge.  k*shards candidates per query always contain the true
+global top-k, so the result is exact.
+
+An alternative ``ppermute`` ring merge (log- or linear-step) is sketched in
+BASELINE.json's north star; for the candidate sizes here (k <= 16, shards
+<= 256) the all-gather merge is bandwidth-trivial, so it is the default.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import l2_ref
+from ..ops.l2_topk_pallas import l2_topk_pallas
+from ..parallel.mesh import INDEX_AXIS
+
+
+def _local_topk(queries, vectors, norms, k, use_pallas):
+    if use_pallas:
+        return l2_topk_pallas(queries, vectors, norms, k)
+    d = l2_ref.l2_distances(queries, vectors, r_norms=norms)
+    return l2_ref.topk_smallest(d, k)
+
+
+def _sharded_search_body(queries, vectors, norms, *, k: int, axis: str,
+                         use_pallas: bool):
+    """shard_map body: runs per device with shard-local vectors/norms."""
+    rows_per_shard = vectors.shape[0]
+    my_shard = jax.lax.axis_index(axis)
+    vals, ids = _local_topk(queries, vectors, norms, k, use_pallas)
+    gids = ids + my_shard * rows_per_shard
+    # Tiny [B, k] candidates: gather every shard's over ICI, merge exactly.
+    all_vals = jax.lax.all_gather(vals, axis)   # [S, B, k]
+    all_gids = jax.lax.all_gather(gids, axis)
+    b = queries.shape[0]
+    cat_vals = jnp.moveaxis(all_vals, 0, 1).reshape(b, -1)  # [B, S*k]
+    cat_gids = jnp.moveaxis(all_gids, 0, 1).reshape(b, -1)
+    # Final top-k with the same ascending-id tie-break as the local kernels:
+    # sort by (value, id) via a stable two-key argsort.
+    order = jnp.argsort(cat_gids, axis=1, stable=True)
+    v1 = jnp.take_along_axis(cat_vals, order, axis=1)
+    g1 = jnp.take_along_axis(cat_gids, order, axis=1)
+    neg_vals, pos = jax.lax.top_k(-v1, k)
+    return -neg_vals, jnp.take_along_axis(g1, pos, axis=1)
+
+
+class ShardedFlatL2Index:
+    """Flat L2 index with rows sharded over a mesh axis.
+
+    Rows are padded to an equal per-shard count; padding rows carry +inf
+    norms.  ``search`` executes a single pjit'ed program: per-shard fused
+    kernel + ICI candidate merge.
+    """
+
+    def __init__(self, mesh: Mesh, vectors: jax.Array, norms: jax.Array,
+                 ntotal: int, axis: str = INDEX_AXIS):
+        self.mesh = mesh
+        self.axis = axis
+        self.vectors = vectors  # [N_pad, d] sharded over axis
+        self.norms = norms      # [N_pad] sharded over axis
+        self.ntotal = ntotal
+
+    @classmethod
+    def build(cls, mesh: Mesh, vectors, axis: str = INDEX_AXIS,
+              dtype=jnp.float32) -> "ShardedFlatL2Index":
+        vectors = np.asarray(vectors)
+        n, d = vectors.shape
+        n_shards = mesh.shape[axis]
+        per = -(-n // n_shards)
+        n_pad = per * n_shards
+        norms = (vectors.astype(np.float32) ** 2).sum(-1)
+        vpad = np.zeros((n_pad, d), dtype=vectors.dtype)
+        vpad[:n] = vectors
+        npad = np.full(n_pad, np.inf, np.float32)
+        npad[:n] = norms
+        vsh = jax.device_put(vpad.astype(dtype),
+                             NamedSharding(mesh, P(axis)))
+        nsh = jax.device_put(npad, NamedSharding(mesh, P(axis)))
+        return cls(mesh, vsh, nsh, ntotal=n, axis=axis)
+
+    def search(self, queries, k: int, use_pallas: bool | None = None
+               ) -> tuple[jax.Array, jax.Array]:
+        if use_pallas is None:
+            use_pallas = all(d.platform == "tpu"
+                             for d in self.mesh.devices.flat)
+        q = jnp.asarray(queries, dtype=self.vectors.dtype)
+        body = partial(_sharded_search_body, k=k, axis=self.axis,
+                       use_pallas=use_pallas)
+        fn = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(), P(self.axis), P(self.axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        q_rep = jax.device_put(q, NamedSharding(self.mesh, P()))
+        return jax.jit(fn)(q_rep, self.vectors, self.norms)

@@ -1,0 +1,2 @@
+from . import l2_ref
+from .l2_topk_pallas import l2_topk_pallas

@@ -1,0 +1,112 @@
+"""XLA reference implementations of exact L2 / Hamming k-NN search.
+
+These are the correctness oracles for the fused Pallas kernels in
+``l2_topk_pallas.py`` — plain jnp code that XLA compiles well enough for
+small problems, written once so every other implementation has a parity
+target (the reference never had one: FAISS flat *is* exact, so the oracle
+check it lacked is a straight tie-aware comparison, BASELINE.md).
+
+Distances are **squared** L2, matching faiss.IndexFlatL2 semantics
+(the reference's torch.cdist path takes a sqrt, but top-k order is
+identical; callers that need metric distances can sqrt).
+
+Tie-break rule (documented per SURVEY.md section 7 "hard parts"): equal
+distances rank by ascending row id — `lax.top_k` on negated distances is
+stable and returns the earliest index first, and the Pallas kernel
+implements the same rule explicitly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def squared_norms(x: jax.Array) -> jax.Array:
+    """Row-wise squared L2 norms, computed in f32."""
+    xf = x.astype(jnp.float32)
+    return jnp.sum(xf * xf, axis=-1)
+
+
+def l2_distances(queries: jax.Array, refs: jax.Array,
+                 q_norms: jax.Array | None = None,
+                 r_norms: jax.Array | None = None) -> jax.Array:
+    """Pairwise squared L2 distances ``[B, N]`` via the norm expansion
+    ``|q|^2 - 2 q.r + |r|^2`` — one MXU matmul plus rank-1 updates."""
+    if q_norms is None:
+        q_norms = squared_norms(queries)
+    if r_norms is None:
+        r_norms = squared_norms(refs)
+    dots = jnp.dot(queries.astype(jnp.float32), refs.astype(jnp.float32).T,
+                   preferred_element_type=jnp.float32)
+    d = q_norms[:, None] - 2.0 * dots + r_norms[None, :]
+    return jnp.maximum(d, 0.0)
+
+
+def topk_smallest(dists: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Top-k smallest values per row -> (values [B,k], ids [B,k])."""
+    neg_vals, ids = jax.lax.top_k(-dists, k)
+    return -neg_vals, ids
+
+
+def l2_topk(queries: jax.Array, refs: jax.Array, k: int,
+            r_norms: jax.Array | None = None) -> tuple[jax.Array, jax.Array]:
+    """Exact k-NN by squared L2. Reference implementation (oracle)."""
+    d = l2_distances(queries, refs, r_norms=r_norms)
+    return topk_smallest(d, k)
+
+
+def masked_l2_distances(queries: jax.Array, refs: jax.Array,
+                        dim_mask: jax.Array) -> jax.Array:
+    """Squared L2 over a subset of dimensions (dim_mask: [d] 1=keep).
+
+    Replaces the reference's rebuild-per-mask pattern
+    (partial_faiss_intersect.py:82-111 drops masked columns from query and
+    refs and builds a temporary index) with one masked distance:
+      sum_m (q_i - r_i)^2 = |q . m|^2 - 2 (q . m) @ R^T + (R*R) @ m
+    The last term is itself an MXU matmul — no index rebuild needed.
+    """
+    m = dim_mask.astype(jnp.float32)
+    qm = queries.astype(jnp.float32) * m[None, :]
+    rf = refs.astype(jnp.float32)
+    q_norms = jnp.sum(qm * qm, axis=-1)
+    r_norms_m = jnp.dot(rf * rf, m, preferred_element_type=jnp.float32)
+    dots = jnp.dot(qm, rf.T, preferred_element_type=jnp.float32)
+    return jnp.maximum(q_norms[:, None] - 2.0 * dots + r_norms_m[None, :], 0.0)
+
+
+def masked_l2_topk(queries: jax.Array, refs: jax.Array, dim_mask: jax.Array,
+                   k: int) -> tuple[jax.Array, jax.Array]:
+    return topk_smallest(masked_l2_distances(queries, refs, dim_mask), k)
+
+
+# --------------------------------------------------------------------------
+# Hamming (binary) search over bit-packed haplotypes
+# (reference: faiss.IndexBinaryFlat via np.packbits,
+#  test_faiss_intersect.py:164-183).
+# --------------------------------------------------------------------------
+
+def pack_bits(x: jax.Array) -> jax.Array:
+    """Pack 0/1 int array [..., d] into uint32 words [..., ceil(d/32)].
+
+    Bit i of word w holds element w*32+i (LSB-first layout; both sides of a
+    Hamming search use the same packing so the layout is internal).
+    """
+    d = x.shape[-1]
+    pad = (-d) % 32
+    xp = jnp.pad(x.astype(jnp.uint32), [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    xp = xp.reshape(*x.shape[:-1], (d + pad) // 32, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(xp << shifts, axis=-1, dtype=jnp.uint32)
+
+
+def hamming_distances(q_packed: jax.Array, r_packed: jax.Array) -> jax.Array:
+    """Pairwise Hamming distances [B, N] via XOR + popcount on the VPU."""
+    x = jnp.bitwise_xor(q_packed[:, None, :], r_packed[None, :, :])
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+def hamming_topk(q_packed: jax.Array, r_packed: jax.Array,
+                 k: int) -> tuple[jax.Array, jax.Array]:
+    d = hamming_distances(q_packed, r_packed)
+    return topk_smallest(d, k)

@@ -1,0 +1,101 @@
+"""Jitted train/eval steps: retrieval + forward + focal losses + on-device
+metrics, with optional data-parallel sharding over a mesh.
+
+One train step fuses everything the reference does across python
+(pretrain_with_val_optimized.py:124-245 + embedding_rag_dataset.py:285-444)
+into a single XLA program: retrieval (grad flows through query embed and
+re-embed, stop-grad through the search side), the dual-hap forward, the
+3/3/4-weighted focal objective, global-norm clip, Adam with warmup +
+inverse-sqrt LR, and metric counters.  No host sync inside the epoch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from flax.training import train_state
+
+from . import losses, metrics
+from .retrieval import WindowRefContext, retrieve
+
+
+class TrainState(train_state.TrainState):
+    """Standard flax TrainState; ``apply_fn`` is the foundation model's
+    apply, ``embed_fn`` is carried separately (static)."""
+
+
+@struct.dataclass
+class StepConfig:
+    focal_gamma: float = 2.0
+    use_recon: bool = False
+    rag_k: int = 1
+    rare_threshold: float = 0.05
+    use_pallas: bool | None = None
+
+    def __hash__(self):
+        return hash((self.focal_gamma, self.use_recon, self.rag_k,
+                     self.rare_threshold, self.use_pallas))
+
+
+def _labels(batch: dict) -> dict:
+    return {"hap_1": batch["hap_1_label"], "hap_2": batch["hap_2_label"],
+            "gt": batch["gt_label"]}
+
+
+def _forward(apply_fn: Callable, embed_fn: Callable, params: Any,
+             batch: dict, ctx: WindowRefContext | None, cfg: StepConfig,
+             deterministic: bool, dropout_rng) -> tuple[jax.Array, tuple]:
+    rngs = None if deterministic else {"dropout": dropout_rng}
+    if ctx is not None:
+        batch = retrieve(embed_fn, params, batch, ctx, cfg.rag_k,
+                         cfg.use_pallas, deterministic, rngs)
+    outputs = apply_fn({"params": params}, batch, deterministic=deterministic,
+                       rngs=rngs)
+    labels = _labels(batch)
+    mask = batch["mask"]
+    loss, aux = losses.total_loss(outputs, labels, mask, cfg.focal_gamma,
+                                  cfg.use_recon)
+    counters = metrics.batch_counters(outputs, labels, mask, batch["af"],
+                                      cfg.rare_threshold)
+    return loss, (aux, counters)
+
+
+@partial(jax.jit, static_argnames=("embed_fn", "cfg"))
+def train_step(state: TrainState, batch: dict,
+               ctx: WindowRefContext | None, rng: jax.Array,
+               embed_fn: Callable, cfg: StepConfig
+               ) -> tuple[TrainState, dict]:
+    """One optimizer step.  ``ctx`` is the current window's retrieval
+    context (None disables RAG — the plain-BERT path)."""
+    dropout_rng = jax.random.fold_in(rng, state.step)
+
+    def loss_fn(params):
+        return _forward(state.apply_fn, embed_fn, params, batch, ctx, cfg,
+                        deterministic=False, dropout_rng=dropout_rng)
+
+    (loss, (aux, counters)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    new_state = state.apply_gradients(grads=grads)
+    stats = {"loss": loss, **aux, "counters": counters,
+             "grad_norm": optax_global_norm(grads)}
+    return new_state, stats
+
+
+@partial(jax.jit, static_argnames=("embed_fn", "cfg"))
+def eval_step(state: TrainState, batch: dict,
+              ctx: WindowRefContext | None, embed_fn: Callable,
+              cfg: StepConfig) -> dict:
+    loss, (aux, counters) = _forward(
+        state.apply_fn, embed_fn, state.params, batch, ctx, cfg,
+        deterministic=True, dropout_rng=jax.random.key(0))
+    return {"loss": loss, **aux, "counters": counters}
+
+
+def optax_global_norm(grads) -> jax.Array:
+    leaves = jax.tree.leaves(grads)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                        for g in leaves))

@@ -1,0 +1,103 @@
+"""Oracle tests: index search vs brute-force numpy exact L2/Hamming.
+
+This is the recall-parity check the reference never had (BASELINE.md):
+flat search is exact, so recall@k must be 1.0 up to distance ties.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rag_snvbert_tpu.index import FlatL2Index, HammingIndex
+from rag_snvbert_tpu.ops import l2_ref
+
+
+def numpy_l2_topk(q, r, k):
+    d = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    ids = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(d, ids, axis=1), ids
+
+
+def assert_topk_match(vals, ids, ref_vals, ref_ids, tol=1e-3):
+    """Values must match; ids may differ only where distances tie."""
+    np.testing.assert_allclose(vals, ref_vals, rtol=tol, atol=tol)
+    mismatch = ids != ref_ids
+    if mismatch.any():
+        # any id mismatch must be a (near-)tie in distance
+        assert np.allclose(vals[mismatch], ref_vals[mismatch], atol=tol)
+
+
+def test_flat_l2_exact_recall(rng):
+    q = rng.standard_normal((37, 96)).astype(np.float32)
+    r = rng.standard_normal((211, 96)).astype(np.float32)
+    idx = FlatL2Index.build(r)
+    vals, ids = idx.search(q, k=10)
+    ref_vals, ref_ids = numpy_l2_topk(q, r, 10)
+    assert_topk_match(np.asarray(vals), np.asarray(ids), ref_vals, ref_ids)
+
+
+def test_flat_l2_haplotype_vectors(rng):
+    # Genotype index regime: 0/1 vectors, d = win_len*2 (build_ref_db_l2.py)
+    r = rng.integers(0, 2, (500, 2040)).astype(np.float32)
+    q = rng.integers(0, 2, (16, 2040)).astype(np.float32)
+    idx = FlatL2Index.build(r)
+    vals, ids = idx.search(q, k=8)
+    ref_vals, ref_ids = numpy_l2_topk(q, r, 8)
+    assert_topk_match(np.asarray(vals), np.asarray(ids), ref_vals, ref_ids)
+
+
+def test_masked_search_matches_column_drop(rng):
+    """masked_search == rebuilding an index on unmasked columns
+    (the partial_faiss_intersect.py semantics)."""
+    r = rng.standard_normal((300, 128)).astype(np.float32)
+    q = rng.standard_normal((9, 128)).astype(np.float32)
+    keep = rng.integers(0, 2, 128).astype(np.float32)
+    idx = FlatL2Index.build(r)
+    vals, ids = idx.masked_search(q, jnp.asarray(keep), k=5)
+    cols = np.flatnonzero(keep)
+    ref_vals, ref_ids = numpy_l2_topk(q[:, cols], r[:, cols], 5)
+    assert_topk_match(np.asarray(vals), np.asarray(ids), ref_vals, ref_ids)
+
+
+def test_tombstone_rows_never_retrieved(rng):
+    r = rng.standard_normal((64, 32)).astype(np.float32)
+    idx = FlatL2Index.build(r)
+    # tombstone rows 0..9 by setting +inf norms
+    idx = idx.replace(norms=idx.norms.at[:10].set(np.inf))
+    q = r[:5]  # exact copies of tombstoned rows
+    _, ids = idx.search(q, k=3)
+    assert (np.asarray(ids) >= 10).all()
+
+
+def test_hamming_index(rng):
+    r = rng.integers(0, 2, (200, 77))
+    q = rng.integers(0, 2, (11, 77))
+    idx = HammingIndex.build(r)
+    vals, ids = idx.search(jnp.asarray(q), k=4)
+    d = (q[:, None, :] != r[None, :, :]).sum(-1)
+    ref_ids = np.argsort(d, axis=1, kind="stable")[:, :4]
+    ref_vals = np.take_along_axis(d, ref_ids, axis=1)
+    assert (np.asarray(vals) == ref_vals).all()
+    mismatch = np.asarray(ids) != ref_ids
+    assert np.asarray(vals)[mismatch].size == 0 or (
+        np.asarray(vals)[mismatch] == ref_vals[mismatch]).all()
+
+
+def test_save_load_roundtrip(tmp_path, rng):
+    r = rng.standard_normal((50, 16)).astype(np.float32)
+    idx = FlatL2Index.build(r)
+    p = str(tmp_path / "w0.npz")
+    idx.save(p)
+    idx2 = FlatL2Index.load(p)
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    v1, i1 = idx.search(q, 3)
+    v2, i2 = idx2.search(q, 3)
+    assert (np.asarray(i1) == np.asarray(i2)).all()
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2))
+
+
+def test_pack_bits_roundtrip_popcount(rng):
+    x = rng.integers(0, 2, (5, 100))
+    packed = l2_ref.pack_bits(jnp.asarray(x))
+    import jax
+    total = np.asarray(jax.lax.population_count(packed)).sum()
+    assert total == x.sum()

@@ -1,0 +1,95 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rag_snvbert_tpu.models import (BERT, BERTFoundationModel,
+                                    BERTWithEmbeddingRAG, BERTWithRAG)
+
+B, L, D, K, V = 2, 64, 32, 2, 9
+
+
+def make_batch(rng, with_rag_emb=False, with_rag_seg=False, dims=D):
+    x = {
+        "hap_1": jnp.asarray(rng.integers(0, V, (B, L))),
+        "hap_2": jnp.asarray(rng.integers(0, V, (B, L))),
+        "pos": jnp.asarray(rng.random((B, L), dtype=np.float32)),
+        "af": jnp.asarray(rng.random((B, L), dtype=np.float32)),
+        "af_p": jnp.asarray(rng.random((B, L), dtype=np.float32)),
+        "ref": jnp.asarray(rng.random((B, L), dtype=np.float32)),
+        "het": jnp.asarray(rng.random((B, L), dtype=np.float32)),
+        "hom": jnp.asarray(rng.random((B, L), dtype=np.float32)),
+    }
+    if with_rag_emb:
+        x["rag_emb_h1"] = jnp.asarray(rng.random((B, K, L, dims), dtype=np.float32))
+        x["rag_emb_h2"] = jnp.asarray(rng.random((B, K, L, dims), dtype=np.float32))
+    if with_rag_seg:
+        x["rag_seg_h1"] = jnp.asarray(rng.integers(0, V, (B, K, L)))
+        x["rag_seg_h2"] = jnp.asarray(rng.integers(0, V, (B, K, L)))
+    return x
+
+
+def test_bert_forward(rng):
+    model = BERT(vocab_size=V, dims=D, n_layers=2, attn_heads=4)
+    x = make_batch(rng)
+    params = model.init(jax.random.key(0), x)
+    h1, h2, h1o, h2o = model.apply(params, x)
+    assert h1.shape == (B, L, D) and h2o.shape == (B, L, D)
+
+
+def test_bert_embedding_rag_forward(rng):
+    model = BERTWithEmbeddingRAG(vocab_size=V, dims=D, n_layers=2, attn_heads=4)
+    x = make_batch(rng, with_rag_emb=True)
+    params = model.init(jax.random.key(0), x)
+    h1, h2, _, _ = model.apply(params, x)
+    assert h1.shape == (B, L, D)
+    # RAG inputs must influence the output
+    x2 = dict(x)
+    x2["rag_emb_h1"] = x["rag_emb_h1"] + 1.0
+    h1b, _, _, _ = model.apply(params, x2)
+    assert not np.allclose(np.asarray(h1), np.asarray(h1b))
+
+
+def test_bert_token_rag_forward(rng):
+    model = BERTWithRAG(vocab_size=V, dims=D, n_layers=2, attn_heads=4)
+    x = make_batch(rng, with_rag_seg=True)
+    params = model.init(jax.random.key(0), x)
+    h1, _, _, _ = model.apply(params, x)
+    assert h1.shape == (B, L, D)
+
+
+@pytest.mark.parametrize("compat", [False, True])
+def test_foundation_model_outputs(rng, compat):
+    bert = BERTWithEmbeddingRAG(vocab_size=V, dims=D, n_layers=2, attn_heads=4)
+    model = BERTFoundationModel(bert=bert, compat_double_softmax=compat)
+    x = make_batch(rng, with_rag_emb=True)
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert len(out) == 7
+    assert out[0].shape == (B, L, 2)   # hap_1
+    assert out[1].shape == (B, L, 2)
+    assert out[2].shape == (B, L, 4)   # gt
+    assert out[3].shape == (B, L, D)   # origins
+    if compat:
+        s = np.asarray(out[0]).sum(-1)
+        np.testing.assert_allclose(s, 1.0, atol=1e-5)  # probabilities
+
+
+def test_dropout_rng_training_mode(rng):
+    model = BERT(vocab_size=V, dims=D, n_layers=1, attn_heads=4)
+    x = make_batch(rng)
+    params = model.init(jax.random.key(0), x)
+    a = model.apply(params, x, deterministic=False,
+                    rngs={"dropout": jax.random.key(1)})
+    b = model.apply(params, x, deterministic=False,
+                    rngs={"dropout": jax.random.key(2)})
+    assert not np.allclose(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_embed_exposed_for_retrieval(rng):
+    model = BERTWithEmbeddingRAG(vocab_size=V, dims=D, n_layers=1, attn_heads=4)
+    x = make_batch(rng, with_rag_emb=True)
+    params = model.init(jax.random.key(0), x)
+    toks = x["hap_1"]
+    emb = model.apply(params, toks, x["af"], method=model.embed)
+    assert emb.shape == (B, L, D)

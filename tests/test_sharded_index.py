@@ -1,0 +1,41 @@
+"""Distributed index tests on a virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from rag_snvbert_tpu.index.sharded import ShardedFlatL2Index
+from rag_snvbert_tpu.parallel.mesh import make_mesh
+
+from tests.test_index_oracle import assert_topk_match, numpy_l2_topk
+
+
+def cpu_mesh(n):
+    devs = jax.devices("cpu")
+    if len(devs) < n:
+        pytest.skip(f"need {n} cpu devices, have {len(devs)}")
+    return make_mesh(n_data=1, n_index=n, devices=devs[:n])
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_search_matches_oracle(rng, n_shards):
+    mesh = cpu_mesh(n_shards)
+    r = rng.standard_normal((1000, 64)).astype(np.float32)
+    q = rng.standard_normal((23, 64)).astype(np.float32)
+    idx = ShardedFlatL2Index.build(mesh, r)
+    vals, ids = idx.search(q, k=10)
+    ref_vals, ref_ids = numpy_l2_topk(q, r, 10)
+    assert_topk_match(np.asarray(vals), np.asarray(ids), ref_vals, ref_ids)
+
+
+def test_sharded_uneven_rows(rng):
+    """Row count not divisible by shard count: padding rows must never
+    surface."""
+    mesh = cpu_mesh(8)
+    r = rng.standard_normal((131, 32)).astype(np.float32)  # 131 % 8 != 0
+    q = r[:7] + 1e-4  # near-duplicates of real rows
+    idx = ShardedFlatL2Index.build(mesh, r)
+    vals, ids = idx.search(q, k=5)
+    assert (np.asarray(ids) < 131).all()
+    ref_vals, ref_ids = numpy_l2_topk(q, r, 5)
+    assert_topk_match(np.asarray(vals), np.asarray(ids), ref_vals, ref_ids)
