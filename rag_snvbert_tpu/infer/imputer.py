@@ -1,0 +1,247 @@
+"""Window-major imputation inference: masked-site prediction, scatter-back,
+NPY/VCF emission, and progressive (iterative) refinement.
+
+Reference parity:
+  - InferDataset: fixed-stride windows over the reference-panel site list;
+    the mask marks sites absent from the target VCF (``position_needed``,
+    src/dataset/dataset.py:629-931); scatter-back into [n_sites, n_samples]
+    probability matrices (src/main/infer.py:128-232).
+  - V18 inference entry (src/infer_embedding_rag.py:32-257): window-major
+    order for retrieval-context locality, no-grad retrieval, hap probs ->
+    p00/p01/p10/p11, [W,S,L] -> [W*L,S] geometry with SOS/pad strip, real
+    CHROM/REF/ALT metadata from the source VCF.
+  - save_npy_result HAP1/HAP2/GT/POS/POS_Flag (src/main/infer.py:435-452).
+  - ProgressiveInferController (src/main/infer.py:24-71, 345-433): impute,
+    keep the most confident fraction as known, rebuild queries, repeat.
+
+TPU-native notes: batches are window-major with static shapes; the
+retrieval context per window reuses train/retrieval.encode_window_refs (the
+on-disk FAISS index of the reference is unnecessary — rebuilding the
+embedding context is a single fused forward, and persistence is available
+via index.flat.FlatL2Index.save for offline workflows).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.tokenize import position_normalize, sequence_padding, tokenize
+from ..io.freq import AF, FreqTable
+from ..io.vcf import VCFData, write_imputed_vcf
+from ..io.vocab import INFER_WINDOW_LEN, MASK, MAX_SEQ_LEN
+from ..train.retrieval import WindowRefContext, encode_window_refs, retrieve
+
+
+@dataclasses.dataclass
+class ImputationResult:
+    """[n_sites, n_samples] probability matrices + site metadata."""
+
+    hap1_prob: np.ndarray   # P(allele==1) haplotype 1
+    hap2_prob: np.ndarray
+    gt_prob: np.ndarray     # [n_sites, n_samples, 4]
+    pos: np.ndarray
+    imputed_flag: np.ndarray  # True where the site was missing in the target
+
+    def save_npy(self, prefix: str) -> None:
+        np.save(prefix + ".HAP1.npy", self.hap1_prob)
+        np.save(prefix + ".HAP2.npy", self.hap2_prob)
+        np.save(prefix + ".GT.npy", self.gt_prob)
+        np.save(prefix + ".POS.npy", self.pos)
+        np.save(prefix + ".POS_Flag.npy", self.imputed_flag)
+
+    def write_vcf(self, path: str, ref_vcf: VCFData,
+                  sample_names: list[str]) -> None:
+        write_imputed_vcf(path, ref_vcf.chrom, self.pos, ref_vcf.ref,
+                          ref_vcf.alt, sample_names, self.hap1_prob,
+                          self.hap2_prob, imputed_flag=self.imputed_flag)
+
+
+class Imputer:
+    """Impute target samples onto the reference panel's site list."""
+
+    def __init__(self, model, embed_fn: Callable, params: Any,
+                 ref_vcf: VCFData, freq: FreqTable,
+                 window_len: int = INFER_WINDOW_LEN,
+                 seq_len: int = MAX_SEQ_LEN, rag_k: int = 1,
+                 ref_pad_haps: int = 2048, batch_size: int = 32,
+                 use_pallas: bool | None = None):
+        self.model = model
+        self.embed_fn = embed_fn
+        self.params = params
+        self.ref_vcf = ref_vcf
+        self.freq = freq
+        self.window_len = window_len
+        self.seq_len = seq_len
+        self.rag_k = rag_k
+        self.ref_pad_haps = ref_pad_haps
+        self.batch_size = batch_size
+        if use_pallas is None:
+            leaf = jax.tree.leaves(params)[0]
+            use_pallas = getattr(getattr(leaf, "device", None),
+                                 "platform", None) == "tpu"
+        self.use_pallas = use_pallas
+        n = ref_vcf.n_variants
+        starts = np.arange(0, n, window_len)
+        self.windows = [(int(s), int(min(s + window_len, n))) for s in starts]
+
+    # ---- per-window pieces ----
+
+    def _window_ctx(self, s: int, e: int, site_mask: np.ndarray
+                    ) -> WindowRefContext:
+        raw = self.ref_vcf.gt[s:e]                    # [n, S, 2]
+        raw = raw.reshape(raw.shape[0], -1).T          # [2S, n]
+        toks = tokenize(raw, None, self.seq_len).astype(np.int32)
+        n_haps = toks.shape[0]
+        if self.ref_pad_haps > n_haps:
+            toks = np.concatenate([toks, np.zeros(
+                (self.ref_pad_haps - n_haps, self.seq_len), np.int32)])
+        valid = np.zeros(toks.shape[0], bool)
+        valid[:n_haps] = True
+        af = sequence_padding(self.freq.lookup(
+            AF, self.freq.global_idx, self.ref_vcf.pos[s:e]), self.seq_len)
+        wmask = sequence_padding(site_mask.astype(np.int32), self.seq_len)
+        return encode_window_refs(self.embed_fn, self.params,
+                                  jnp.asarray(toks), jnp.asarray(af),
+                                  jnp.asarray(wmask),
+                                  valid=jnp.asarray(valid))
+
+    def _forward(self, batch: dict, ctx: WindowRefContext):
+        x = retrieve(self.embed_fn, self.params, batch, ctx, self.rag_k,
+                     self.use_pallas, deterministic=True)
+        out = self.model.apply({"params": self.params}, x,
+                               deterministic=True)
+        p1 = jax.nn.softmax(out[0], axis=-1)[..., 1]
+        p2 = jax.nn.softmax(out[1], axis=-1)[..., 1]
+        pgt = jax.nn.softmax(out[2], axis=-1)
+        return p1, p2, pgt
+
+    def impute(self, target: VCFData, pop: int | None = None
+               ) -> ImputationResult:
+        """Impute all target samples over the whole reference site list.
+
+        ``pop``: population class for the af_p/ref/het/hom features
+        (defaults to the global pool, matching inference without panel
+        info)."""
+        fwd = jax.jit(self._forward)
+        n_sites = self.ref_vcf.n_variants
+        n_samp = target.n_samples
+        hap1 = np.zeros((n_sites, n_samp), np.float32)
+        hap2 = np.zeros((n_sites, n_samp), np.float32)
+        gtp = np.zeros((n_sites, n_samp, 4), np.float32)
+
+        # position_needed: ref-panel sites missing from the target VCF
+        found = np.searchsorted(target.pos, self.ref_vcf.pos)
+        found = np.clip(found, 0, max(len(target.pos) - 1, 0))
+        present = (target.pos[found] == self.ref_vcf.pos) if len(target.pos) \
+            else np.zeros(n_sites, bool)
+        target_rows = found  # valid where present
+
+        pop_idx = self.freq.global_idx if pop is None else pop
+        L = self.seq_len
+        bs = self.batch_size
+
+        for (s, e) in self.windows:
+            n = e - s
+            miss = ~present[s:e]                      # mask = absent sites
+            ctx = self._window_ctx(s, e, miss)
+
+            # assemble queries: known alleles where present, 0 elsewhere
+            rows = target_rows[s:e]
+            h1 = np.where(present[s:e][:, None],
+                          target.gt[np.minimum(rows, len(target.pos) - 1), :, 0],
+                          0).T.astype(np.int8)        # [S, n]
+            h2 = np.where(present[s:e][:, None],
+                          target.gt[np.minimum(rows, len(target.pos) - 1), :, 1],
+                          0).T.astype(np.int8)
+            mask_p = sequence_padding(miss.astype(np.int32), L)
+            toks1 = tokenize(h1, mask_p, L).astype(np.int32)
+            toks2 = tokenize(h2, mask_p, L).astype(np.int32)
+
+            positions = self.ref_vcf.pos[s:e]
+            feats = self.freq.window_features(positions, pop_idx)
+            row = {k: sequence_padding(v, L) for k, v in feats.items()}
+            pos_n = sequence_padding(position_normalize(positions), L)
+            af_g = sequence_padding(self.freq.lookup(
+                AF, self.freq.global_idx, positions), L)
+
+            for b0 in range(0, n_samp, bs):
+                b1 = min(b0 + bs, n_samp)
+                nb = b1 - b0
+                pad = bs - nb
+                def pad_rows(x):
+                    return np.concatenate([x, np.repeat(x[:1], pad, 0)]) \
+                        if pad else x
+                batch = {
+                    "hap_1": jnp.asarray(pad_rows(toks1[b0:b1])),
+                    "hap_2": jnp.asarray(pad_rows(toks2[b0:b1])),
+                    "mask": jnp.asarray(np.broadcast_to(mask_p, (bs, L))),
+                    "pos": jnp.asarray(np.broadcast_to(pos_n, (bs, L))),
+                    "af": jnp.asarray(np.broadcast_to(af_g, (bs, L))),
+                    "af_p": jnp.asarray(np.broadcast_to(row["af_p"], (bs, L))),
+                    "ref": jnp.asarray(np.broadcast_to(row["ref"], (bs, L))),
+                    "het": jnp.asarray(np.broadcast_to(row["het"], (bs, L))),
+                    "hom": jnp.asarray(np.broadcast_to(row["hom"], (bs, L))),
+                }
+                p1, p2, pg = fwd(batch, ctx)
+                # strip SOS slot and padding: body = sites s..e at 1..n
+                p1 = np.asarray(p1)[:nb, 1 : 1 + n]
+                p2 = np.asarray(p2)[:nb, 1 : 1 + n]
+                pg = np.asarray(pg)[:nb, 1 : 1 + n]
+                hap1[s:e, b0:b1] = p1.T
+                hap2[s:e, b0:b1] = p2.T
+                gtp[s:e, b0:b1] = pg.transpose(1, 0, 2)
+
+        # Known sites keep their observed alleles (probability 0/1).
+        known = present
+        kr = np.minimum(target_rows, max(len(target.pos) - 1, 0))
+        obs1 = target.gt[kr, :, 0].astype(np.float32)
+        obs2 = target.gt[kr, :, 1].astype(np.float32)
+        hap1[known] = obs1[known]
+        hap2[known] = obs2[known]
+        return ImputationResult(hap1_prob=hap1, hap2_prob=hap2, gt_prob=gtp,
+                                pos=self.ref_vcf.pos.copy(),
+                                imputed_flag=~present)
+
+    def impute_progressive(self, target: VCFData, rounds: int = 3,
+                           fill_fraction: float = 0.5) -> ImputationResult:
+        """Iterative refinement (ProgressiveInferController semantics):
+        each round imputes, then the most confident ``fill_fraction`` of
+        still-missing sites become observed input for the next round."""
+        work = dataclasses.replace(
+            target, gt=target.gt.copy(), pos=target.pos.copy(),
+            chrom=target.chrom, ref=target.ref, alt=target.alt,
+            ids=target.ids, samples=target.samples)
+        result = None
+        originally_missing = None
+        for r in range(rounds):
+            result = self.impute(work)
+            if originally_missing is None:
+                originally_missing = result.imputed_flag.copy()
+            missing = result.imputed_flag
+            if not missing.any() or r == rounds - 1:
+                break
+            # confidence = max distance from 0.5 across both haps (per site)
+            conf = (np.abs(result.hap1_prob - 0.5)
+                    + np.abs(result.hap2_prob - 0.5)).mean(axis=1)
+            miss_idx = np.flatnonzero(missing)
+            order = miss_idx[np.argsort(-conf[miss_idx])]
+            fill = order[: max(1, int(len(order) * fill_fraction))]
+            # promote filled sites into the working target VCF
+            new_rows = []
+            calls1 = (result.hap1_prob[fill] >= 0.5).astype(np.int8)
+            calls2 = (result.hap2_prob[fill] >= 0.5).astype(np.int8)
+            gt_new = np.stack([calls1, calls2], axis=-1)  # [F, S, 2]
+            merged_pos = np.concatenate([work.pos, self.ref_vcf.pos[fill]])
+            merged_gt = np.concatenate([work.gt, gt_new], axis=0)
+            order2 = np.argsort(merged_pos, kind="stable")
+            work = dataclasses.replace(work, pos=merged_pos[order2],
+                                       gt=merged_gt[order2])
+        result.imputed_flag = originally_missing
+        return result

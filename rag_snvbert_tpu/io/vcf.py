@@ -1,0 +1,302 @@
+"""Host-side VCF I/O: reader (VCF -> genotype arrays / HDF5 cache) and the
+imputation VCF writer.
+
+The reference leans on scikit-allel + vcfpy (neither installed in this
+image), so this is a self-contained implementation of the subset it uses:
+  - ``read_vcf``: phased biallelic GT matrix [n_variants, n_samples, 2]
+    (binarized: any ALT allele -> 1, matching ``vcf_data[vcf_data > 0] = 1``,
+    src/dataset/dataset.py:330-333), POS, CHROM, REF/ALT, sample names.
+  - ``vcf_to_hdf5`` / ``load_hdf5``: the same HDF5 cache layout the
+    reference keeps (``calldata/GT``, ``variants/POS``; we add CHROM/REF/ALT
+    and samples), src/dataset/embedding_rag_dataset.py:463-484.
+  - ``write_imputed_vcf``: the chunked writer with GT/HDS/GP/DS format
+    fields (VCFProcessingModule.generate_vcf_efficient_optimized,
+    src/dataset/utils.py:378-479).
+
+Parsing is pure Python (gzip-aware) with a vectorized numpy inner loop; a
+C++ fast path can swap in underneath without changing this API.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import io
+import os
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+
+@dataclasses.dataclass
+class VCFData:
+    """In-memory biallelic phased genotype matrix + site metadata."""
+
+    gt: np.ndarray       # [n_variants, n_samples, 2] int8, binarized 0/1
+    pos: np.ndarray      # [n_variants] int64
+    chrom: np.ndarray    # [n_variants] object (str)
+    ref: np.ndarray      # [n_variants] object (str)
+    alt: np.ndarray      # [n_variants] object (str)
+    ids: np.ndarray      # [n_variants] object (str)
+    samples: list[str]
+
+    @property
+    def n_variants(self) -> int:
+        return self.gt.shape[0]
+
+    @property
+    def n_samples(self) -> int:
+        return self.gt.shape[1]
+
+
+def _open_text(path: str):
+    if str(path).endswith(".gz"):
+        return io.TextIOWrapper(gzip.open(path, "rb"), encoding="utf-8")
+    return open(path, "r", encoding="utf-8")
+
+
+def read_vcf(path: str, use_native: bool = True) -> VCFData:
+    """Parse a (optionally gzipped) VCF into a binarized GT matrix.
+
+    Haploid calls are duplicated to both haplotype slots; missing calls
+    ('.') become 0 (REF), matching the binarize-everything behavior of the
+    reference pipeline.
+
+    The GT matrix (the O(variants*samples) hot part) parses through the
+    native C++ reader (native/vcf_reader.cpp) when available; site
+    metadata comes from a light host pass over the first 9 columns.  Falls
+    back to the pure-Python parser transparently.
+    """
+    if use_native:
+        from ._native import native_read_gt
+
+        nat = native_read_gt(path)
+        if nat is not None:
+            gt, pos = nat
+            meta = _read_vcf_metadata(path)
+            if (len(meta["pos"]) == len(pos)
+                    and (meta["pos"] == pos).all()):
+                return VCFData(gt=gt, pos=pos, chrom=meta["chrom"],
+                               ref=meta["ref"], alt=meta["alt"],
+                               ids=meta["ids"], samples=meta["samples"])
+    chroms, poss, refs, alts, vids = [], [], [], [], []
+    gt_rows: list[np.ndarray] = []
+    samples: list[str] = []
+
+    with _open_text(path) as f:
+        for line in f:
+            if line.startswith("##"):
+                continue
+            if line.startswith("#CHROM"):
+                samples = line.rstrip("\n").split("\t")[9:]
+                continue
+            fields = line.rstrip("\n").split("\t")
+            if len(fields) < 10:
+                continue
+            chroms.append(fields[0])
+            poss.append(int(fields[1]))
+            vids.append(fields[2])
+            refs.append(fields[3])
+            alts.append(fields[4])
+            # GT is the first colon-separated subfield of each sample column.
+            row = np.zeros((len(samples), 2), dtype=np.int8)
+            for s, col in enumerate(fields[9:]):
+                g = col.split(":", 1)[0]
+                sep = "|" if "|" in g else "/"
+                parts = g.split(sep)
+                a0 = 0 if parts[0] in (".", "0", "") else 1
+                a1 = a0 if len(parts) < 2 else (
+                    0 if parts[1] in (".", "0", "") else 1)
+                row[s, 0] = a0
+                row[s, 1] = a1
+            gt_rows.append(row)
+
+    gt = (np.stack(gt_rows) if gt_rows
+          else np.zeros((0, len(samples), 2), np.int8))
+    return VCFData(gt=gt, pos=np.asarray(poss, np.int64),
+                   chrom=np.asarray(chroms, object),
+                   ref=np.asarray(refs, object),
+                   alt=np.asarray(alts, object),
+                   ids=np.asarray(vids, object), samples=samples)
+
+
+def _read_vcf_metadata(path: str) -> dict:
+    """Light pass: header samples + first-9-column site metadata only."""
+    chroms, poss, refs, alts, vids = [], [], [], [], []
+    samples: list[str] = []
+    with _open_text(path) as f:
+        for line in f:
+            if line.startswith("##"):
+                continue
+            if line.startswith("#CHROM"):
+                samples = line.rstrip("\n").split("\t")[9:]
+                continue
+            fields = line.split("\t", 5)
+            if len(fields) < 5:
+                continue
+            chroms.append(fields[0])
+            poss.append(int(fields[1]))
+            vids.append(fields[2])
+            refs.append(fields[3])
+            alts.append(fields[4])
+    return {"chrom": np.asarray(chroms, object),
+            "pos": np.asarray(poss, np.int64),
+            "ref": np.asarray(refs, object),
+            "alt": np.asarray(alts, object),
+            "ids": np.asarray(vids, object), "samples": samples}
+
+
+def vcf_to_hdf5(vcf_path: str, h5_path: str | None = None) -> str:
+    """Cache a VCF as HDF5 with the reference's layout
+    (calldata/GT + variants/POS, plus site metadata)."""
+    assert h5py is not None, "h5py required"
+    if h5_path is None:
+        base = str(vcf_path)
+        for suf in (".vcf.gz", ".vcf"):
+            if base.endswith(suf):
+                base = base[: -len(suf)]
+                break
+        h5_path = base + ".h5"
+    data = read_vcf(vcf_path)
+    str_dt = h5py.string_dtype(encoding="utf-8")
+    with h5py.File(h5_path, "w") as h5:
+        h5.create_dataset("calldata/GT", data=data.gt, compression="gzip")
+        h5.create_dataset("variants/POS", data=data.pos, compression="gzip")
+        h5.create_dataset("variants/CHROM",
+                          data=data.chrom.astype(str_dt), dtype=str_dt)
+        h5.create_dataset("variants/REF",
+                          data=data.ref.astype(str_dt), dtype=str_dt)
+        h5.create_dataset("variants/ALT",
+                          data=data.alt.astype(str_dt), dtype=str_dt)
+        h5.create_dataset("variants/ID",
+                          data=data.ids.astype(str_dt), dtype=str_dt)
+        h5.create_dataset("samples",
+                          data=np.asarray(data.samples, object).astype(str_dt),
+                          dtype=str_dt)
+    return h5_path
+
+
+def load_hdf5(h5_path: str) -> VCFData:
+    assert h5py is not None, "h5py required"
+    with h5py.File(h5_path, "r") as h5:
+        def _str(name, n):
+            if name in h5:
+                return np.asarray([x.decode() if isinstance(x, bytes) else x
+                                   for x in h5[name][:]], object)
+            return np.asarray([""] * n, object)
+
+        gt = h5["calldata/GT"][:]
+        gt = np.where(gt > 0, 1, 0).astype(np.int8)
+        pos = h5["variants/POS"][:].astype(np.int64)
+        n = gt.shape[0]
+        samples = ([x.decode() if isinstance(x, bytes) else x
+                    for x in h5["samples"][:]] if "samples" in h5
+                   else [f"S{i}" for i in range(gt.shape[1])])
+        return VCFData(gt=gt, pos=pos, chrom=_str("variants/CHROM", n),
+                       ref=_str("variants/REF", n), alt=_str("variants/ALT", n),
+                       ids=_str("variants/ID", n), samples=samples)
+
+
+def load_vcf_or_hdf5(path: str, cache: bool = True) -> VCFData:
+    """The reference's load-with-cache pattern: prefer the .h5 next to a
+    .vcf[.gz], building it on first use
+    (embedding_rag_dataset.py:463-484)."""
+    p = str(path)
+    if p.endswith(".h5"):
+        return load_hdf5(p)
+    base = p
+    for suf in (".vcf.gz", ".vcf"):
+        if base.endswith(suf):
+            base = base[: -len(suf)]
+            break
+    h5_path = base + ".h5"
+    if os.path.exists(h5_path):
+        return load_hdf5(h5_path)
+    if cache and h5py is not None:
+        vcf_to_hdf5(p, h5_path)
+        return load_hdf5(h5_path)
+    return read_vcf(p)
+
+
+# --------------------------------------------------------------------------
+# Imputed-VCF emission (reference: generate_vcf_efficient_optimized,
+# src/dataset/utils.py:378-479 — GT/HDS/GP/DS fields, chunked writes).
+# --------------------------------------------------------------------------
+
+def write_simple_vcf(path: str, data: VCFData) -> None:
+    """Write a plain GT-only VCF (round-trip partner of read_vcf; used for
+    synthetic cohorts and tests)."""
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "wt") as f:
+        f.write("##fileformat=VCFv4.2\n##source=rag_snvbert_tpu\n"
+                '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n')
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                + "\t".join(data.samples) + "\n")
+        for v in range(data.n_variants):
+            cols = [str(data.chrom[v]), str(int(data.pos[v])),
+                    str(data.ids[v]) or ".", str(data.ref[v]),
+                    str(data.alt[v]), ".", "PASS", ".", "GT"]
+            cols.extend(f"{data.gt[v, s, 0]}|{data.gt[v, s, 1]}"
+                        for s in range(data.n_samples))
+            f.write("\t".join(cols) + "\n")
+
+
+_HEADER = """##fileformat=VCFv4.2
+##source=rag_snvbert_tpu
+##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+##FORMAT=<ID=HDS,Number=2,Type=Float,Description="Estimated Haploid Alternate Allele Dosage">
+##FORMAT=<ID=GP,Number=3,Type=Float,Description="Estimated Posterior Probabilities for Genotypes 0/0, 0/1 and 1/1">
+##FORMAT=<ID=DS,Number=1,Type=Float,Description="Estimated Alternate Allele Dosage">
+"""
+
+
+def write_imputed_vcf(path: str, chrom, pos, ref, alt, samples,
+                      hap1_prob: np.ndarray, hap2_prob: np.ndarray,
+                      imputed_flag: np.ndarray | None = None,
+                      chunk: int = 4096) -> None:
+    """Write imputed genotypes with GT/HDS/GP/DS per sample.
+
+    Args:
+      hap{1,2}_prob: [n_variants, n_samples] P(allele==1) per haplotype.
+      imputed_flag: optional [n_variants] bool — True rows get IMPUTED in
+        INFO (the reference marks originally-missing sites).
+    """
+    n_v, n_s = hap1_prob.shape
+    chrom = np.broadcast_to(np.asarray(chrom, object), (n_v,))
+    ref = np.broadcast_to(np.asarray(ref, object), (n_v,))
+    alt = np.broadcast_to(np.asarray(alt, object), (n_v,))
+
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "wt") as f:
+        f.write(_HEADER)
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                + "\t".join(samples) + "\n")
+        for start in range(0, n_v, chunk):
+            end = min(start + chunk, n_v)
+            p1 = hap1_prob[start:end]
+            p2 = hap2_prob[start:end]
+            a1 = (p1 >= 0.5).astype(np.int8)
+            a2 = (p2 >= 0.5).astype(np.int8)
+            ds = p1 + p2
+            gp00 = (1 - p1) * (1 - p2)
+            gp11 = p1 * p2
+            gp01 = 1.0 - gp00 - gp11
+            lines = []
+            for i in range(end - start):
+                v = start + i
+                info = "IMPUTED" if (imputed_flag is not None
+                                     and imputed_flag[v]) else "."
+                cols = [str(chrom[v]), str(int(pos[v])), ".", str(ref[v]),
+                        str(alt[v]), ".", "PASS", info, "GT:HDS:GP:DS"]
+                for s in range(n_s):
+                    cols.append(
+                        f"{a1[i, s]}|{a2[i, s]}:"
+                        f"{p1[i, s]:.3f},{p2[i, s]:.3f}:"
+                        f"{gp00[i, s]:.3f},{gp01[i, s]:.3f},{gp11[i, s]:.3f}:"
+                        f"{ds[i, s]:.3f}")
+                lines.append("\t".join(cols))
+            f.write("\n".join(lines) + "\n")

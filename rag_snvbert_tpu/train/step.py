@@ -11,12 +11,12 @@ inverse-sqrt LR, and metric counters.  No host sync inside the epoch.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
-from flax import struct
 from flax.training import train_state
 
 from . import losses, metrics
@@ -28,17 +28,15 @@ class TrainState(train_state.TrainState):
     apply, ``embed_fn`` is carried separately (static)."""
 
 
-@struct.dataclass
+@dataclasses.dataclass(frozen=True)
 class StepConfig:
+    """Static (hashable) step configuration — a jit static argument."""
+
     focal_gamma: float = 2.0
     use_recon: bool = False
     rag_k: int = 1
     rare_threshold: float = 0.05
     use_pallas: bool | None = None
-
-    def __hash__(self):
-        return hash((self.focal_gamma, self.use_recon, self.rag_k,
-                     self.rare_threshold, self.use_pallas))
 
 
 def _labels(batch: dict) -> dict:

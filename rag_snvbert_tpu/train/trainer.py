@@ -1,0 +1,274 @@
+"""Training orchestration: epochs, curriculum, validation, early stopping,
+metrics CSV, checkpointing.
+
+Reference parity (behavioral):
+  - epoch loop with per-epoch mask regeneration (seed = epoch) and
+    retrieval-context invalidation (src/train_embedding_rag.py:343-434);
+  - curriculum add_level every 2 epochs, capped (=level 5 -> 80%)
+    (:415-431; data/masking.MASK_RATES);
+  - validation at a fixed level/seed (:274-291 — level 4, seed 2024);
+  - early stopping on val F1 with patience + min_delta
+    (pretrain_with_val_optimized.py:490-522);
+  - per-epoch metrics CSV (append mode, :424-481) + jsonl event log;
+  - checkpoints every epoch + best (:524-552) via orbax: params, opt state,
+    step, epoch, curriculum level.  The retrieval index is derived state
+    and is NOT checkpointed (train_embedding_rag.py:378-387).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data import masking
+from ..data.pipeline import WindowDataset
+from . import metrics as metrics_lib
+from .retrieval import WindowRefContext, encode_window_refs
+from .schedule import make_optimizer
+from .step import StepConfig, TrainState, eval_step, train_step
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    epochs: int = 20
+    batch_size: int = 24
+    val_batch_size: int = 48
+    init_lr: float = 1e-5
+    max_lr: float = 7.5e-5
+    warmup_steps: int = 15000
+    grad_accum_steps: int = 1
+    focal_gamma: float = 2.0
+    use_recon_loss: bool = False
+    rag_k: int = 1
+    rare_threshold: float = 0.05
+    curriculum_every: int = 2          # add_level every N epochs
+    max_level: int = masking.MAX_LEVEL
+    val_level: int = masking.VAL_LEVEL
+    val_seed: int = masking.VAL_SEED
+    patience: int = 5
+    min_delta: float = 0.001
+    val_metric: str = "hap_f1"
+    ref_pad_haps: int = 2048           # static panel-size pad per window
+    output_dir: str = "runs/default"
+    log_freq: int = 100
+    seed: int = 42
+
+
+@dataclasses.dataclass
+class EarlyStopping:
+    """Best-metric tracker with patience (pretrain_with_val_optimized.py:
+    490-522)."""
+
+    patience: int
+    min_delta: float
+    best: float = -np.inf
+    best_epoch: int = -1
+    bad_epochs: int = 0
+
+    def update(self, value: float, epoch: int) -> tuple[bool, bool]:
+        """Returns (is_best, should_stop)."""
+        if value > self.best + self.min_delta:
+            self.best, self.best_epoch, self.bad_epochs = value, epoch, 0
+            return True, False
+        self.bad_epochs += 1
+        return False, self.bad_epochs >= self.patience
+
+
+class Trainer:
+    """Window-major RAG trainer."""
+
+    def __init__(self, model, embed_fn: Callable, train_ds: WindowDataset,
+                 cfg: TrainerConfig, val_ds: WindowDataset | None = None,
+                 init_params: Any | None = None):
+        self.model = model
+        self.embed_fn = embed_fn
+        self.train_ds = train_ds
+        self.val_ds = val_ds
+        self.cfg = cfg
+        self.level = 0
+        self.start_epoch = 0
+        self.stopper = EarlyStopping(cfg.patience, cfg.min_delta)
+        self.step_cfg = StepConfig(
+            focal_gamma=cfg.focal_gamma, use_recon=cfg.use_recon_loss,
+            rag_k=cfg.rag_k, rare_threshold=cfg.rare_threshold)
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        self.csv_path = os.path.join(cfg.output_dir, "metrics.csv")
+        self.log_path = os.path.join(cfg.output_dir, "events.jsonl")
+
+        if init_params is None:
+            from ..models import init_batch
+            dims = model.bert.dims
+            init_params = model.init(
+                jax.random.key(cfg.seed),
+                init_batch(1, train_ds.seq_len, dims))["params"]
+        tx = make_optimizer(cfg.init_lr, cfg.max_lr, cfg.warmup_steps,
+                            accum_steps=cfg.grad_accum_steps)
+        self.state = TrainState.create(apply_fn=model.apply,
+                                       params=init_params, tx=tx)
+        self.rng = jax.random.key(cfg.seed)
+        # Resolve the search-kernel path from where the params actually live
+        # (the axon TPU registers as default backend even when work is
+        # pinned to CPU, so jax.default_backend() alone is unreliable).
+        leaf = jax.tree.leaves(self.state.params)[0]
+        platform = getattr(getattr(leaf, "device", None), "platform", None)
+        self.step_cfg = dataclasses.replace(
+            self.step_cfg, use_pallas=(platform == "tpu"))
+
+    # ---- retrieval context management (the JIT index cache, functional) ----
+
+    def _window_ctx(self, ds: WindowDataset, meta, level: int,
+                    seed: int) -> WindowRefContext:
+        toks, af, valid = ds.window_ref_tokens(
+            meta, pad_haps_to=self.cfg.ref_pad_haps)
+        wmask = ds.window_mask(meta, level, seed)
+        return encode_window_refs(
+            self.embed_fn, self.state.params, jnp.asarray(toks),
+            jnp.asarray(af), jnp.asarray(wmask), valid=jnp.asarray(valid))
+
+    # ---- epoch loops ----
+
+    def _run_epoch(self, epoch: int, train: bool) -> dict:
+        ds = self.train_ds if train else self.val_ds
+        level = self.level if train else self.cfg.val_level
+        seed = epoch if train else self.cfg.val_seed
+        bs = self.cfg.batch_size if train else self.cfg.val_batch_size
+        counters = jax.device_get(metrics_lib.zeros_like_counters())
+        totals = {"loss": 0.0, "hap_loss": 0.0, "gt_loss": 0.0}
+        n_batches = 0
+        t0 = time.time()
+        current_wid = -1
+        ctx = None
+        use_rag = ds.ref_vcf is not None
+        for meta, np_batch in ds.epoch_batches(bs, epoch, level,
+                                               shuffle=train, seed=seed):
+            if use_rag and meta.window_idx != current_wid:
+                # window switch -> rebuild the derived retrieval context
+                ctx = self._window_ctx(ds, meta, level, seed)
+                current_wid = meta.window_idx
+            batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+            if train:
+                self.state, stats = train_step(self.state, batch, ctx,
+                                               self.rng, self.embed_fn,
+                                               self.step_cfg)
+            else:
+                stats = eval_step(self.state, batch, ctx, self.embed_fn,
+                                  self.step_cfg)
+            counters = jax.tree.map(
+                lambda a, b: a + np.asarray(b), counters, stats["counters"])
+            for k in totals:
+                if k in stats:
+                    totals[k] += float(stats[k])
+            n_batches += 1
+            if train and n_batches % self.cfg.log_freq == 0:
+                self._log({"event": "step", "epoch": epoch,
+                           "batch": n_batches,
+                           "loss": float(stats["loss"])})
+        summary = metrics_lib.summarize(counters)
+        summary.update({k: v / max(n_batches, 1) for k, v in totals.items()})
+        summary["epoch_seconds"] = time.time() - t0
+        summary["n_batches"] = n_batches
+        return summary
+
+    def fit(self) -> dict:
+        cfg = self.cfg
+        history = []
+        self.level = min(self.start_epoch // cfg.curriculum_every,
+                         cfg.max_level)
+        for epoch in range(self.start_epoch, cfg.epochs):
+            tr = self._run_epoch(epoch, train=True)
+            self._log({"event": "train_epoch", "epoch": epoch,
+                       "level": self.level, **tr})
+            row = {"epoch": epoch, "level": self.level,
+                   **{f"train_{k}": v for k, v in tr.items()}}
+            if self.val_ds is not None:
+                va = self._run_epoch(epoch, train=False)
+                self._log({"event": "val_epoch", "epoch": epoch, **va})
+                row.update({f"val_{k}": v for k, v in va.items()})
+                metric = va.get(cfg.val_metric.replace("f1", "hap_f1")
+                                if cfg.val_metric == "f1" else cfg.val_metric,
+                                va["hap_f1"])
+                is_best, should_stop = self.stopper.update(metric, epoch)
+                self.save_checkpoint(epoch, is_best=is_best)
+                if should_stop:
+                    self._log({"event": "early_stop", "epoch": epoch,
+                               "best_epoch": self.stopper.best_epoch,
+                               "best": self.stopper.best})
+                    self._write_csv_row(row)
+                    history.append(row)
+                    break
+            else:
+                self.save_checkpoint(epoch, is_best=False)
+            self._write_csv_row(row)
+            history.append(row)
+            # curriculum: add_level every N epochs, capped
+            if (epoch + 1) % cfg.curriculum_every == 0:
+                self.level = min(self.level + 1, cfg.max_level)
+        return {"history": history, "best": self.stopper.best,
+                "best_epoch": self.stopper.best_epoch}
+
+    # ---- persistence ----
+
+    def save_checkpoint(self, epoch: int, is_best: bool) -> None:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(
+            os.path.join(self.cfg.output_dir, f"ckpt_ep{epoch}"))
+        with ocp.StandardCheckpointer() as ckptr:
+            payload = {"params": self.state.params,
+                       "opt_state": self.state.opt_state,
+                       "step": np.asarray(self.state.step),
+                       "epoch": np.asarray(epoch),
+                       "level": np.asarray(self.level)}
+            ckptr.save(path, payload, force=True)
+        if is_best:
+            best = os.path.join(self.cfg.output_dir, "best")
+            if os.path.islink(best):
+                os.unlink(best)
+            os.symlink(path, best)
+
+    def restore_checkpoint(self, path: str) -> None:
+        """Resume weights + optimizer + curriculum
+        (train_embedding_rag.py:154-192, 325-336)."""
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            target = {"params": self.state.params,
+                      "opt_state": self.state.opt_state,
+                      "step": np.asarray(self.state.step),
+                      "epoch": np.asarray(0),
+                      "level": np.asarray(0)}
+            restored = ckptr.restore(os.path.abspath(path), target)
+        self.state = self.state.replace(params=restored["params"],
+                                        opt_state=restored["opt_state"],
+                                        step=int(restored["step"]))
+        self.start_epoch = int(restored["epoch"]) + 1
+        # Re-derive the curriculum level from the resume epoch (the saved
+        # level predates the end-of-epoch bump), matching the reference's
+        # target_level = min(start_epoch // 2, max) replay
+        # (train_embedding_rag.py:325-336).
+        self.level = min(self.start_epoch // self.cfg.curriculum_every,
+                         self.cfg.max_level)
+
+    # ---- logging ----
+
+    def _log(self, record: dict) -> None:
+        record = {**record, "ts": time.time()}
+        with open(self.log_path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def _write_csv_row(self, row: dict) -> None:
+        exists = os.path.exists(self.csv_path)
+        with open(self.csv_path, "a", newline="", encoding="utf-8") as f:
+            w = csv.DictWriter(f, fieldnames=list(row.keys()))
+            if not exists:
+                w.writeheader()
+            w.writerow(row)

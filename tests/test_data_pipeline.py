@@ -1,0 +1,106 @@
+import numpy as np
+
+from rag_snvbert_tpu.data.pipeline import WindowDataset
+from rag_snvbert_tpu.io.synthetic import make_bundle
+from rag_snvbert_tpu.io.vocab import ALLELE_OFFSET, MASK, SOS
+
+
+def make_ds(seq_len=128, **kw):
+    b = make_bundle(**kw)
+    ds = WindowDataset(b.train, b.panel, b.freq, b.window.window_info,
+                       b.vocab, ref_vcf=b.ref, seq_len=seq_len)
+    return b, ds
+
+
+def test_window_intersection_full_overlap():
+    b, ds = make_ds(n_sites=300, n_windows=3)
+    assert ds.n_windows == 3
+    for meta in ds.windows:
+        assert meta.n_sites == meta.site_slice.stop - meta.site_slice.start
+
+
+def test_batch_shapes_and_labels():
+    b, ds = make_ds()
+    meta = ds.windows[0]
+    batch = ds.make_batch(meta, np.arange(8), level=2, seed=1)
+    L = 128
+    for k in ["hap_1", "hap_2", "hap_1_label", "hap_2_label", "gt_label",
+              "mask", "pos", "af", "af_p", "ref", "het", "hom"]:
+        assert batch[k].shape == (8, L), k
+    # token layout
+    assert (batch["hap_1"][:, 0] == SOS).all()
+    # gt label consistency: gt = (h1<<1)+h2 site-wise
+    gl = batch["gt_label"]
+    assert (gl == (batch["hap_1_label"] << 1) + batch["hap_2_label"]).all()
+    # masked positions are the MASK token; unmasked body matches label+offset
+    m = batch["mask"][0].astype(bool)
+    n = meta.n_sites
+    body = slice(1, 1 + n)
+    assert (batch["hap_1"][:, body][:, m[body]] == MASK).all()
+    um = ~m[body]
+    assert (batch["hap_1"][:, body][:, um]
+            == batch["hap_1_label"][:, body][:, um] + ALLELE_OFFSET).all()
+
+
+def test_batch_padding_rows_no_loss():
+    b, ds = make_ds()
+    meta = ds.windows[0]
+    batch = ds.make_batch(meta, np.arange(5), level=0, seed=0, pad_to=8)
+    assert batch["hap_1"].shape[0] == 8
+    assert (batch["mask"][5:] == 0).all()
+    assert (batch["mask"][:5].sum(1) > 0).all()
+
+
+def test_mask_deterministic_per_epoch_and_window():
+    b, ds = make_ds()
+    m0 = ds.window_mask(ds.windows[0], level=1, seed=3)
+    m0b = ds.window_mask(ds.windows[0], level=1, seed=3)
+    m1 = ds.window_mask(ds.windows[1], level=1, seed=3)
+    assert (m0 == m0b).all() and (m0 != m1).any()
+    assert m0[0] == 0  # SOS slot never masked
+
+
+def test_ref_tokens_complete_and_padded():
+    b, ds = make_ds()
+    meta = ds.windows[0]
+    toks, af, valid = ds.window_ref_tokens(meta, pad_haps_to=128)
+    assert toks.shape == (128, 128)
+    n_haps = 2 * b.ref.n_samples
+    assert valid.sum() == n_haps
+    assert (toks[:n_haps, 0] == SOS).all()
+    assert (toks[n_haps:] == 0).all()
+    # no MASK tokens in complete refs
+    assert (toks != MASK).all()
+
+
+def test_epoch_batches_window_major():
+    b, ds = make_ds(n_train_samples=10)
+    seen = []
+    for meta, batch in ds.epoch_batches(batch_size=4, epoch=0, level=0):
+        seen.append(meta.window_idx)
+        assert batch["hap_1"].shape == (4, 128)
+    # window-major: each window's batches are contiguous
+    changes = sum(1 for i in range(1, len(seen)) if seen[i] != seen[i - 1])
+    assert changes == ds.n_windows - 1
+    # epoch reshuffles windows
+    order1 = [m.window_idx for m, _ in ds.epoch_batches(4, epoch=1, level=0)]
+    order2 = [m.window_idx for m, _ in ds.epoch_batches(4, epoch=2, level=0)]
+    assert order1 != order2 or ds.n_windows == 1
+
+
+def test_partial_position_overlap_filters_sites():
+    b = make_bundle(n_sites=200, n_windows=2)
+    # Drop every third reference site: the intersection must shrink.
+    keep = np.ones(200, bool)
+    keep[::3] = False
+    ref = b.ref
+    import dataclasses
+    ref2 = dataclasses.replace(ref, gt=ref.gt[keep], pos=ref.pos[keep],
+                               chrom=ref.chrom[keep], ref=ref.ref[keep],
+                               alt=ref.alt[keep], ids=ref.ids[keep])
+    ds = WindowDataset(b.train, b.panel, b.freq, b.window.window_info,
+                       b.vocab, ref_vcf=ref2, seq_len=128)
+    for meta in ds.windows:
+        full = meta.site_slice.stop - meta.site_slice.start
+        assert meta.n_sites < full
+        assert (ref2.pos[meta.ref_rows] == meta.positions).all()

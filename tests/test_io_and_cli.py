@@ -1,0 +1,112 @@
+"""Host IO round-trips and CLI subcommand end-to-end runs on synthetic data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rag_snvbert_tpu.io.freq import AF, FreqTable, build_freq_matrix
+from rag_snvbert_tpu.io.panel import PanelData
+from rag_snvbert_tpu.io.synthetic import make_bundle
+from rag_snvbert_tpu.io.vcf import (load_vcf_or_hdf5, read_vcf, vcf_to_hdf5,
+                                    write_simple_vcf)
+from rag_snvbert_tpu.io.windows import Window
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return make_bundle(n_train_samples=6, n_ref_samples=10, n_sites=80,
+                       n_windows=2)
+
+
+def test_vcf_roundtrip(tmp_path, bundle):
+    p = str(tmp_path / "train.vcf")
+    write_simple_vcf(p, bundle.train)
+    back = read_vcf(p)
+    np.testing.assert_array_equal(back.gt, bundle.train.gt)
+    np.testing.assert_array_equal(back.pos, bundle.train.pos)
+    assert back.samples == bundle.train.samples
+
+
+def test_vcf_gz_and_h5_cache(tmp_path, bundle):
+    p = str(tmp_path / "train.vcf.gz")
+    write_simple_vcf(p, bundle.train)
+    h5 = vcf_to_hdf5(p)
+    assert h5.endswith(".h5")
+    back = load_vcf_or_hdf5(p)  # should hit the h5 cache
+    np.testing.assert_array_equal(back.gt, bundle.train.gt)
+
+
+def test_panel_file_and_split(tmp_path, bundle):
+    p = str(tmp_path / "x.panel")
+    with open(p, "w") as f:
+        f.write("sample\tpop\tsuper_pop\n")
+        for s, pop in zip(bundle.panel.samples, bundle.panel.pop_list):
+            f.write(f"{s}\t{pop}\tX\n")
+    panel = PanelData.from_file(p)
+    assert panel.samples == bundle.panel.samples
+    assert panel.pop_to_class == bundle.panel.pop_to_class
+    tr, te = panel.split_stratified(0.34, seed=1)
+    assert len(tr) + len(te) == panel.n_samples
+    assert set(tr).isdisjoint(te)
+
+
+def test_freq_matrix_values(bundle):
+    gt = bundle.ref.gt
+    # hand-check one site's global AF
+    af0 = gt[0].sum() / (2 * gt.shape[1])
+    got = bundle.freq.lookup(AF, bundle.freq.global_idx,
+                             bundle.ref.pos[:1])[0]
+    assert abs(af0 - got) < 1e-6
+    # layers sum to 1 per (pop, site)
+    f = bundle.freq.freq
+    np.testing.assert_allclose(f[0] + f[1] + f[2], 1.0, atol=1e-5)
+
+
+def test_window_csv_roundtrip(tmp_path, bundle):
+    p = str(tmp_path / "w.csv")
+    bundle.window.save_csv(p)
+    back = Window.from_file(p)
+    np.testing.assert_array_equal(back.window_info,
+                                  bundle.window.window_info)
+
+
+def test_cli_prepare_build_query(tmp_path, bundle, capsys):
+    from rag_snvbert_tpu.cli.main import main
+
+    ref_vcf = str(tmp_path / "ref.vcf")
+    tgt_vcf = str(tmp_path / "tgt.vcf")
+    panel_p = str(tmp_path / "ref.panel")
+    write_simple_vcf(ref_vcf, bundle.ref)
+    write_simple_vcf(tgt_vcf, bundle.train)
+    with open(panel_p, "w") as f:
+        f.write("sample\tpop\n")
+        for s, pop in zip(bundle.ref_panel.samples, bundle.ref_panel.pop_list):
+            f.write(f"{s}\t{pop}\n")
+
+    out = str(tmp_path / "prep")
+    main(["prepare-data", "--vcf", ref_vcf, "--panel", panel_p,
+          "--out", out, "--window-len", "40",
+          "--split-test-fraction", "0.2"])
+    assert os.path.exists(os.path.join(out, "freq.npz"))
+    assert os.path.exists(os.path.join(out, "windows.csv"))
+    assert os.path.exists(os.path.join(out, "POP.json"))
+
+    db = str(tmp_path / "db")
+    main(["build-index", "--vcf", ref_vcf, "--out", db,
+          "--window-len", "40"])
+    assert os.path.exists(os.path.join(db, "window_0.idx.npz"))
+    capsys.readouterr()
+
+    main(["query", "--vcf", tgt_vcf, "--db", db, "--k", "3"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_queries"] == bundle.train.n_samples * 2  # 2 windows
+    assert stats["qps"] > 0
+
+    for mode, extra in [("partial", []), ("intersect", []),
+                        ("intersect", ["--hamming"])]:
+        main(["query", "--vcf", tgt_vcf, "--db", db, "--k", "3",
+              "--mode", mode] + extra)
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["qps"] > 0
