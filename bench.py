@@ -54,24 +54,26 @@ def main():
 
     # Ship genotypes as int8 (1 B/elem) and cast to bf16 on device — host
     # link bandwidth dominates chromosome-scale build time.
+    from rag_snvbert_tpu.utils import benchmarking as bm
+
     t0 = time.time()
     refs_dev = jax.device_put(refs.astype(np.int8))
     idx = FlatL2Index.build(refs_dev, dtype=jnp.bfloat16)
-    jax.block_until_ready(idx.vectors)
+    bm.fetch_scalar(idx.norms)
     build_s = time.time() - t0
+
+    from rag_snvbert_tpu.utils.benchmarking import fetch_scalar, steady_state_ms
 
     q = jnp.asarray(queries, dtype=jnp.bfloat16)
     t0 = time.time()
     vals, ids = idx.search(q, k=k)
-    jax.block_until_ready((vals, ids))
+    fetch_scalar(ids)  # hard completion barrier (block_until_ready is not
+    # reliable on remote-attached runtimes)
     compile_s = time.time() - t0
 
-    iters = 20
-    t0 = time.time()
-    for _ in range(iters):
-        vals, ids = idx.search(q, k=k)
-    jax.block_until_ready((vals, ids))
-    tpu_dt = (time.time() - t0) / iters
+    timing = steady_state_ms(lambda: idx.search(q, k=k),
+                             iters_lo=4, iters_hi=20)
+    tpu_dt = timing["per_iter_ms"] / 1e3
     tpu_qps = batch / tpu_dt
 
     # Correctness check against CPU exact search.  0/1 genotype vectors

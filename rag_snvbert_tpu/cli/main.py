@@ -312,6 +312,41 @@ def cmd_infer(args):
 
 
 # ---------------------------------------------------------------------------
+# emit-vcf / analyze
+# ---------------------------------------------------------------------------
+
+def cmd_emit_vcf(args):
+    """NPY probability matrices -> imputed VCF (generate_vcf.py:1-46
+    parity: consumes the save_npy_result layout)."""
+    from ..io.vcf import load_vcf_or_hdf5, write_imputed_vcf
+
+    hap1 = np.load(args.npy_prefix + ".HAP1.npy")
+    hap2 = np.load(args.npy_prefix + ".HAP2.npy")
+    pos = np.load(args.npy_prefix + ".POS.npy")
+    flag = np.load(args.npy_prefix + ".POS_Flag.npy")
+    ref_vcf = load_vcf_or_hdf5(args.refpanel_path)
+    samples = (args.samples.split(",") if args.samples
+               else [f"S{i}" for i in range(hap1.shape[1])])
+    write_imputed_vcf(args.output_vcf, ref_vcf.chrom, pos, ref_vcf.ref,
+                      ref_vcf.alt, samples, hap1, hap2, imputed_flag=flag)
+    print(json.dumps({"sites": int(pos.shape[0]), "samples": len(samples)}))
+
+
+def cmd_analyze(args):
+    """Training-run analysis: metrics plot + frequency-table audit
+    (scripts/analyze_training_log.py / plot_metrics_csv.py / test_fq.py)."""
+    from ..utils.analyze import epoch_summary, inspect_freq, plot_metrics
+
+    if args.run_dir:
+        df = epoch_summary(args.run_dir)
+        print(df.to_string(index=False))
+        out = plot_metrics(args.run_dir)
+        print(f"plot: {out}")
+    if args.freq_path:
+        print(json.dumps(inspect_freq(args.freq_path), indent=2))
+
+
+# ---------------------------------------------------------------------------
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="rag-snvbert-tpu", description=__doc__)
@@ -383,6 +418,19 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--batch_size", type=int, default=32)
     pi.add_argument("--progressive_rounds", type=int, default=1)
     pi.set_defaults(fn=cmd_infer)
+
+    pe = sub.add_parser("emit-vcf")
+    pe.add_argument("--npy_prefix", required=True)
+    pe.add_argument("--refpanel_path", required=True)
+    pe.add_argument("--output_vcf", required=True)
+    pe.add_argument("--samples", default=None,
+                    help="comma-separated sample names")
+    pe.set_defaults(fn=cmd_emit_vcf)
+
+    pa = sub.add_parser("analyze")
+    pa.add_argument("--run_dir", default=None)
+    pa.add_argument("--freq_path", default=None)
+    pa.set_defaults(fn=cmd_analyze)
 
     return p
 

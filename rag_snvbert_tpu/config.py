@@ -1,0 +1,109 @@
+"""Typed configuration + named presets.
+
+The reference's real config system is 25+ versioned shell scripts
+(run_v2...run_v18*.sh, SURVEY.md section 5): each pins model size, LR,
+masking, and paths.  Here a single frozen dataclass captures the same axes
+and the version lineage becomes named presets — the capability each version
+introduced, reconstructed from the scripts:
+
+  v10 128d/8L/4H baseline -> v13 focal gamma tuning, no recon ->
+  v14-16 width sweeps (256d/192d) -> v17 token-space FAISS RAG
+  (192d/10L/6H, batch 16) -> v18 embedding-space RAG
+  (384d/12L/12H, batch 24, ga2, lr 7.5e-5, warmup 15k)
+  (run_v18_embedding_rag.sh:40-60, HOW_TO_RUN.md:59-81).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    dims: int = 384
+    n_layers: int = 12
+    attn_heads: int = 12
+    dropout: float = 0.1
+    seq_len: int = 1030
+    rag_mode: str = "embedding"   # "embedding" | "token" | "none"
+    pre_ln: bool = False          # True = modern pre-norm variant
+    remat: bool = False
+    bf16: bool = False            # bf16 compute dtype for the encoder
+    attn_dropout: float | None = None  # 0 disables attention-prob dropout
+    scan_layers: bool = False     # lax.scan over encoder layers (fast compile)
+    compat_double_softmax: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    model: ModelConfig = ModelConfig()
+    epochs: int = 20
+    batch_size: int = 24
+    val_batch_size: int = 48
+    init_lr: float = 1e-5
+    max_lr: float = 7.5e-5
+    warmup_steps: int = 15000
+    grad_accum_steps: int = 2
+    focal_gamma: float = 2.0
+    use_recon_loss: bool = False
+    rag_k: int = 1
+    rare_threshold: float = 0.05
+    patience: int = 5
+    min_delta: float = 0.001
+
+    def build_model(self, vocab_size: int):
+        from .models import (BERT, BERTFoundationModel, BERTWithEmbeddingRAG,
+                             BERTWithRAG)
+
+        m = self.model
+        cls = {"embedding": BERTWithEmbeddingRAG, "token": BERTWithRAG,
+               "none": BERT}[m.rag_mode]
+        import jax.numpy as jnp
+
+        bert = cls(vocab_size=vocab_size, dims=m.dims, n_layers=m.n_layers,
+                   attn_heads=m.attn_heads, dropout=m.dropout,
+                   pre_ln=m.pre_ln, remat=m.remat,
+                   dtype=jnp.bfloat16 if m.bf16 else jnp.float32,
+                   attn_dropout=m.attn_dropout, scan_layers=m.scan_layers)
+        return BERTFoundationModel(bert=bert,
+                                   compat_double_softmax=m.compat_double_softmax)
+
+
+PRESETS: dict[str, RunConfig] = {
+    # v10-era baseline: small model, no RAG (run_v10_20250411_mafData.sh)
+    "v10_baseline": RunConfig(
+        model=ModelConfig(dims=128, n_layers=8, attn_heads=4,
+                          rag_mode="none"),
+        batch_size=64, grad_accum_steps=1, max_lr=1e-4, warmup_steps=10000,
+        focal_gamma=5.0, use_recon_loss=True),
+    # v13 optimized training recipe (run_v13_optimized.sh): gamma 2.5,
+    # recon off
+    "v13_optimized": RunConfig(
+        model=ModelConfig(dims=128, n_layers=8, attn_heads=4,
+                          rag_mode="none"),
+        batch_size=64, grad_accum_steps=1, focal_gamma=2.5),
+    # v17 token-space RAG (run_v17_FIXED.sh): 192d/10L/6H, batch 16
+    "v17_token_rag": RunConfig(
+        model=ModelConfig(dims=192, n_layers=10, attn_heads=6,
+                          rag_mode="token"),
+        batch_size=16, grad_accum_steps=1, max_lr=5e-5),
+    # v18 embedding RAG, the flagship (run_v18_embedding_rag.sh:40-60)
+    "v18_embedding_rag": RunConfig(),
+    # v18 at the 256d "Large" point (HOW_TO_RUN.md:79-81)
+    "v18_large": RunConfig(
+        model=ModelConfig(dims=256, n_layers=12, attn_heads=8)),
+    # TPU-tuned variant: pre-LN + remat + bf16-friendly sizes — the
+    # recommended starting point for new training runs on TPU.
+    "tpu_default": RunConfig(
+        model=ModelConfig(dims=384, n_layers=12, attn_heads=12,
+                          pre_ln=True, remat=True, bf16=True,
+                          attn_dropout=0.0, scan_layers=True)),
+}
+
+
+def get_preset(name: str) -> RunConfig:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise KeyError(f"unknown preset {name!r}; available: "
+                       f"{sorted(PRESETS)}") from None

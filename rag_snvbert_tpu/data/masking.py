@@ -90,6 +90,23 @@ def span_mask(length: int, ratio: float, seed: int, window_idx: int) -> np.ndarr
     return mask
 
 
+def adaptive_mask_ratio(epoch: int, total_epochs: int,
+                        start: float = 0.15, end: float = 0.8,
+                        schedule: str = "cosine") -> float:
+    """Continuous mask-ratio schedules (AdaptiveMaskScheduler,
+    src/main/pretrain.py:21-36): cosine / linear / exponential ramp from
+    ``start`` to ``end`` over the run — the alternative to the discrete
+    level curriculum."""
+    t = min(max(epoch / max(total_epochs - 1, 1), 0.0), 1.0)
+    if schedule == "linear":
+        f = t
+    elif schedule == "exponential":
+        f = t ** 2
+    else:  # cosine
+        f = 0.5 * (1.0 - np.cos(np.pi * t))
+    return float(start + (end - start) * f)
+
+
 # --------------------------------------------------------------------------
 # JAX variants — usable inside jit; probabilities may be traced arrays.
 # --------------------------------------------------------------------------

@@ -71,7 +71,7 @@ class Imputer:
                  window_len: int = INFER_WINDOW_LEN,
                  seq_len: int = MAX_SEQ_LEN, rag_k: int = 1,
                  ref_pad_haps: int = 2048, batch_size: int = 32,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None, window=None):
         self.model = model
         self.embed_fn = embed_fn
         self.params = params
@@ -88,8 +88,16 @@ class Imputer:
                                  "platform", None) == "tpu"
         self.use_pallas = use_pallas
         n = ref_vcf.n_variants
-        starts = np.arange(0, n, window_len)
-        self.windows = [(int(s), int(min(s + window_len, n))) for s in starts]
+        if window is not None:
+            # Window-file driven inference (the reference's
+            # rag_infer_dataset_window_file.py variant): honor an explicit
+            # window table instead of fixed-stride chunking.
+            self.windows = [(int(s), int(min(e, n)))
+                            for s, e in window.window_info]
+        else:
+            starts = np.arange(0, n, window_len)
+            self.windows = [(int(s), int(min(s + window_len, n)))
+                            for s in starts]
 
     # ---- per-window pieces ----
 

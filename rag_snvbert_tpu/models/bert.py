@@ -32,12 +32,23 @@ class BERT(nn.Module):
     dropout: float = 0.1
     pre_ln: bool = False
     remat: bool = False
+    dtype: jnp.dtype = jnp.float32   # compute dtype (bf16 for TPU speed)
+    attn_dropout: float | None = None
+    scan_layers: bool = False        # lax.scan over encoder layers
+    flash_attention: bool = False    # fused Pallas attention kernel
+    score_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.embedding = BERTEmbedding(self.vocab_size, self.dims, self.dropout)
-        self.emb_fusion = EmbeddingFusionModule(self.dims)
+        self.embedding = BERTEmbedding(self.vocab_size, self.dims,
+                                       self.dropout, dtype=self.dtype)
+        self.emb_fusion = EmbeddingFusionModule(self.dims, dtype=self.dtype)
         self.encoder = Encoder(self.n_layers, self.dims, self.attn_heads,
-                               self.dropout, self.pre_ln, self.remat)
+                               self.dropout, self.pre_ln, self.remat,
+                               dtype=self.dtype,
+                               attn_dropout=self.attn_dropout,
+                               flash=self.flash_attention,
+                               score_dtype=self.score_dtype,
+                               scan=self.scan_layers)
 
     def embed(self, tokens, af, deterministic=True):
         """Embedding-layer forward — the retrieval encoder. Exposed so the
@@ -51,11 +62,17 @@ class BERT(nn.Module):
         return self.encoder(fused, None, deterministic)
 
     def __call__(self, x: dict, deterministic: bool = True):
-        h1_origin = self.embed(x["hap_1"], x["af"], deterministic)
-        h2_origin = self.embed(x["hap_2"], x["af"], deterministic)
-        h1 = self.encode(h1_origin, x["pos"], x["af"], deterministic)
-        h2 = self.encode(h2_origin, x["pos"], x["af"], deterministic)
-        return h1, h2, h1_origin, h2_origin
+        # Both haplotypes share every weight, so they ride one stacked
+        # [2B, L, *] pass — half the HLO and better MXU utilization than
+        # the reference's two sequential loops (src/model/bert.py:69-74).
+        b = x["hap_1"].shape[0]
+        toks = jnp.concatenate([x["hap_1"], x["hap_2"]], axis=0)
+        af2 = jnp.concatenate([x["af"], x["af"]], axis=0)
+        pos2 = jnp.concatenate([x["pos"], x["pos"]], axis=0)
+        origin = self.embed(toks, af2, deterministic)
+        enc = self.encode(origin, pos2, af2, deterministic)
+        h1, h2 = enc[:b], enc[b:]
+        return h1, h2, origin[:b], origin[b:]
 
 
 class BERTWithRAG(BERT):
@@ -65,7 +82,8 @@ class BERTWithRAG(BERT):
 
     def setup(self):
         super().setup()
-        self.rag_fusion = EnhancedRareVariantFusion(self.dims)
+        self.rag_fusion = EnhancedRareVariantFusion(self.dims,
+                                                    dtype=self.dtype)
 
     def encode_rag_segments(self, rag_segs, pos, af, deterministic=True):
         # rag_segs: [B, K, L] -> encode each as a sequence.  The reference
@@ -98,14 +116,22 @@ class BERTWithEmbeddingRAG(BERT):
 
     def setup(self):
         super().setup()
-        self.rag_fusion = EnhancedRareVariantFusion(self.dims)
+        self.rag_fusion = EnhancedRareVariantFusion(self.dims,
+                                                    dtype=self.dtype)
 
     def __call__(self, x: dict, deterministic: bool = True):
-        h1_origin = self.embed(x["hap_1"], x["af"], deterministic)
-        h2_origin = self.embed(x["hap_2"], x["af"], deterministic)
-
+        # Weight sharing across haplotypes (and retrieved refs) lets every
+        # stage run on one stacked batch: embed [2B], emb_fusion [4B],
+        # rag_fusion [2B], encoder [2B] — versus the reference's per-stream
+        # module calls (src/model/bert.py:148-218).
+        b = x["hap_1"].shape[0]
         pos, af = x["pos"], x["af"]
         af_p = x.get("af_p", af)
+
+        toks = jnp.concatenate([x["hap_1"], x["hap_2"]], axis=0)
+        af2 = jnp.concatenate([af, af], axis=0)
+        pos2 = jnp.concatenate([pos, pos], axis=0)
+        origin = self.embed(toks, af2, deterministic)  # [2B, L, D]
 
         if "rag_emb_h1" in x:
             # K>1 retrieved refs are averaged before fusion
@@ -115,17 +141,19 @@ class BERTWithEmbeddingRAG(BERT):
             rag1 = rag1.mean(axis=1) if rag1.shape[1] > 1 else rag1[:, 0]
             rag2 = rag2.mean(axis=1) if rag2.shape[1] > 1 else rag2[:, 0]
 
-            h1 = self.emb_fusion(h1_origin, pos, af, deterministic)
-            h2 = self.emb_fusion(h2_origin, pos, af, deterministic)
-            rag1 = self.emb_fusion(rag1.astype(h1.dtype), pos, af, deterministic)
-            rag2 = self.emb_fusion(rag2.astype(h2.dtype), pos, af, deterministic)
-
-            h1 = self.rag_fusion(h1, rag1[:, None], af, af_p, deterministic)
-            h2 = self.rag_fusion(h2, rag2[:, None], af, af_p, deterministic)
+            streams = jnp.concatenate(
+                [origin, rag1.astype(origin.dtype),
+                 rag2.astype(origin.dtype)], axis=0)      # [4B, L, D]
+            af4 = jnp.concatenate([af2, af2], axis=0)
+            pos4 = jnp.concatenate([pos2, pos2], axis=0)
+            fused = self.emb_fusion(streams, pos4, af4, deterministic)
+            queries, rags = fused[: 2 * b], fused[2 * b :]
+            h = self.rag_fusion(queries, rags[:, None],
+                                jnp.concatenate([af, af], axis=0),
+                                jnp.concatenate([af_p, af_p], axis=0),
+                                deterministic)            # [2B, L, D]
         else:
-            h1 = self.emb_fusion(h1_origin, pos, af, deterministic)
-            h2 = self.emb_fusion(h2_origin, pos, af, deterministic)
+            h = self.emb_fusion(origin, pos2, af2, deterministic)
 
-        h1 = self.encoder(h1, None, deterministic)
-        h2 = self.encoder(h2, None, deterministic)
-        return h1, h2, h1_origin, h2_origin
+        enc = self.encoder(h, None, deterministic)
+        return enc[:b], enc[b:], origin[:b], origin[b:]

@@ -45,6 +45,7 @@ class AFEmbedding(nn.Module):
 
     embed_size: int
     num_basis: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, af: jax.Array) -> jax.Array:  # [B, L] -> [B, L, D]
@@ -54,10 +55,12 @@ class AFEmbedding(nn.Module):
         feats = jnp.concatenate(
             [jnp.sin(2 * math.pi * expanded), jnp.cos(2 * math.pi * expanded)],
             axis=-1)
-        h = nn.Dense(self.embed_size, kernel_init=_xavier)(feats)
-        h = nn.LayerNorm()(h)
+        h = nn.Dense(self.embed_size, kernel_init=_xavier,
+                     dtype=self.dtype)(feats.astype(self.dtype))
+        h = nn.LayerNorm(dtype=self.dtype)(h)
         h = nn.gelu(h)
-        return nn.Dense(self.embed_size, kernel_init=_xavier)(h)
+        return nn.Dense(self.embed_size, kernel_init=_xavier,
+                        dtype=self.dtype)(h)
 
 
 class BERTEmbedding(nn.Module):
@@ -72,17 +75,20 @@ class BERTEmbedding(nn.Module):
     dropout: float = 0.1
     use_af: bool = True
     max_len: int = MAX_SEQ_LEN
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, seq: jax.Array, af: jax.Array | None = None,
                  pos: bool = True, deterministic: bool = True) -> jax.Array:
         tok = nn.Embed(self.vocab_size, self.embed_size,
-                       embedding_init=nn.initializers.normal(1.0))(seq)
+                       embedding_init=nn.initializers.normal(1.0),
+                       dtype=self.dtype)(seq)
         tok = tok * (seq != PAD)[..., None].astype(tok.dtype)
         out = tok
         if pos:
             pe = sinusoidal_table(self.max_len, self.embed_size, tok.dtype)
             out = out + pe[None, : seq.shape[-1], :]
         if self.use_af and af is not None:
-            out = out + AFEmbedding(self.embed_size)(af.astype(out.dtype))
+            out = out + AFEmbedding(self.embed_size,
+                                    dtype=self.dtype)(af.astype(jnp.float32))
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)

@@ -36,6 +36,7 @@ class PositionFeatModule(nn.Module):
     hidden_channels: int = 4
     kernel_size: int = 9
     norm: str = "group"  # "group" (stateless) | "none" | "batch"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, pos: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -63,6 +64,7 @@ class EmbeddingFusionModule(nn.Module):
 
     emb_size: int
     pos_norm: str = "group"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, emb: jax.Array, pos: jax.Array, af: jax.Array,
@@ -71,29 +73,33 @@ class EmbeddingFusionModule(nn.Module):
             pos, deterministic)[..., None].astype(emb.dtype)
         af_feat = af[..., None].astype(emb.dtype)
         all_feat = jnp.concatenate([emb, pos_feat, af_feat], axis=-1)
-        all_feat = nn.leaky_relu(nn.Dense(self.emb_size, name="fusion")(all_feat),
-                                 negative_slope=0.1)
-        return nn.LayerNorm()(emb + all_feat)
+        all_feat = nn.leaky_relu(
+            nn.Dense(self.emb_size, name="fusion", dtype=self.dtype)(all_feat),
+            negative_slope=0.1)
+        return nn.LayerNorm(dtype=self.dtype)(emb + all_feat)
 
 
 class CrossAFInteraction(nn.Module):
     """Gated interaction of global and population allele frequencies."""
 
     dims: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, global_af: jax.Array, pop_af: jax.Array) -> jax.Array:
-        combined = jnp.stack([global_af, pop_af], axis=-1)  # [B, L, 2]
-        gate = nn.Dense(32, kernel_init=_xavier, bias_init=_bias001)(combined)
-        gate = nn.Dense(self.dims, kernel_init=_xavier,
-                        bias_init=_bias001)(nn.gelu(gate))
+        combined = jnp.stack([global_af, pop_af], axis=-1).astype(self.dtype)
+        gate = nn.Dense(32, kernel_init=_xavier, bias_init=_bias001,
+                        dtype=self.dtype)(combined)
+        gate = nn.Dense(self.dims, kernel_init=_xavier, bias_init=_bias001,
+                        dtype=self.dtype)(nn.gelu(gate))
         gate = nn.sigmoid(gate)
-        enc = nn.Dense(self.dims, kernel_init=_xavier,
-                       bias_init=_bias001)(combined)
-        enc = nn.gelu(nn.LayerNorm()(enc))
+        enc = nn.Dense(self.dims, kernel_init=_xavier, bias_init=_bias001,
+                       dtype=self.dtype)(combined)
+        enc = nn.gelu(nn.LayerNorm(dtype=self.dtype)(enc))
         res_scale = self.param("res_scale",
                                lambda _: jnp.asarray(0.1, jnp.float32))
-        return global_af[..., None] + res_scale * (gate * enc)
+        return (global_af[..., None].astype(self.dtype)
+                + res_scale.astype(self.dtype) * (gate * enc))
 
 
 class EnhancedRareVariantFusion(nn.Module):
@@ -102,33 +108,39 @@ class EnhancedRareVariantFusion(nn.Module):
 
     dims: int
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, orig_feat: jax.Array, rag_feat: jax.Array,
                  global_af: jax.Array, pop_af: jax.Array,
                  deterministic: bool = True) -> jax.Array:
         # orig_feat: [B, L, D]; rag_feat: [B, K, L, D]
-        fused_af = CrossAFInteraction(self.dims, name="af_interaction")(
+        fused_af = CrossAFInteraction(self.dims, dtype=self.dtype,
+                                      name="af_interaction")(
             global_af, pop_af)  # [B, L, D]
 
-        w = nn.Dense(4 * self.dims, kernel_init=_xavier, bias_init=_bias01)(fused_af)
+        w = nn.Dense(4 * self.dims, kernel_init=_xavier, bias_init=_bias01,
+                     dtype=self.dtype)(fused_af)
         w = nn.Dropout(self.dropout)(nn.gelu(w), deterministic=deterministic)
-        w = nn.Dense(self.dims, kernel_init=_xavier, bias_init=_bias01)(w)
+        w = nn.Dense(self.dims, kernel_init=_xavier, bias_init=_bias01,
+                     dtype=self.dtype)(w)
         af_weight = nn.sigmoid(w)  # [B, L, D]
 
         weighted_ref = rag_feat * af_weight[:, None].astype(rag_feat.dtype)
         weighted_ref = weighted_ref.transpose(0, 2, 1, 3)  # [B, L, K, D]
 
-        pool_logits = nn.Dense(1, kernel_init=_xavier,
-                               bias_init=_bias01, name="pooling")(weighted_ref)
+        pool_logits = nn.Dense(1, kernel_init=_xavier, bias_init=_bias01,
+                               dtype=self.dtype, name="pooling")(weighted_ref)
         pool_w = jax.nn.softmax(pool_logits, axis=2)  # softmax over K
         pooled_ref = jnp.sum(weighted_ref * pool_w, axis=2)  # [B, L, D]
 
         fused = jnp.concatenate([orig_feat, pooled_ref], axis=-1)
-        fused = nn.Dense(4 * self.dims, kernel_init=_xavier, bias_init=_bias01)(fused)
+        fused = nn.Dense(4 * self.dims, kernel_init=_xavier, bias_init=_bias01,
+                         dtype=self.dtype)(fused)
         fused = nn.Dropout(self.dropout)(nn.gelu(fused), deterministic=deterministic)
-        fused = nn.Dense(self.dims, kernel_init=_xavier, bias_init=_bias01)(fused)
-        fused = nn.LayerNorm()(fused)
+        fused = nn.Dense(self.dims, kernel_init=_xavier, bias_init=_bias01,
+                         dtype=self.dtype)(fused)
+        fused = nn.LayerNorm(dtype=self.dtype)(fused)
 
         maf = jnp.minimum(global_af, 1.0 - global_af)[..., None]
         maf_weight = jnp.clip(jnp.log1p(1.0 / (maf + 1e-6)), max=3.0)

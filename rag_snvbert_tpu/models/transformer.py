@@ -21,10 +21,50 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _flash_attention(q, k, v, sm_scale, block: int = 384):
+    """Fused flash attention via the Pallas TPU kernel: never materializes
+    the [L, L] score matrix in HBM — the dominant memory-traffic term of
+    XLA attention at L ~ 1030.
+
+    The kernel wants sequence length divisible by its block size and the
+    head dim on full 128 lanes, so q/k/v are zero-padded: extra head-dim
+    columns contribute 0 to every dot product (scores unchanged) and
+    padded key rows are excluded via segment ids.
+    """
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    b, h, l, hd = q.shape
+    lp = -(-l // block) * block
+    hdp = max(128, -(-hd // 128) * 128)
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, lp - l), (0, hdp - hd)))
+
+    seg = (jnp.arange(lp) < l).astype(jnp.int32)[None, :]
+    seg = jnp.broadcast_to(seg, (b, lp))
+    sizes = fa.BlockSizes(
+        block_q=block, block_k_major=block, block_k=block, block_b=1,
+        block_q_major_dkv=block, block_k_major_dkv=block,
+        block_k_dkv=block, block_q_dkv=block,
+        block_k_major_dq=block, block_k_dq=block, block_q_dq=block)
+    out = fa.flash_attention(pad(q), pad(k), pad(v),
+                             segment_ids=fa.SegmentIds(q=seg, kv=seg),
+                             sm_scale=sm_scale, block_sizes=sizes)
+    return out[:, :, :l, :hd]
+
+
 class MultiHeadAttention(nn.Module):
     heads: int
     dims: int
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+    attn_dropout: float | None = None  # None -> same as dropout.  Set 0 to
+    # skip the [B,H,L,L] bernoulli mask — its RNG temps dominate HBM at
+    # L~1030 and remat must keep them; modern practice drops only residuals.
+    flash: bool = False        # fused Pallas flash-attention path (TPU).
+    # Requires attn_dropout == 0 and no explicit attention mask.
+    score_dtype: jnp.dtype = jnp.float32  # XLA-path score matrix dtype;
+    # bf16 halves the dominant HBM traffic term at a small numeric cost.
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None,
@@ -32,38 +72,45 @@ class MultiHeadAttention(nn.Module):
         b, l, d = x.shape
         assert d % self.heads == 0
         hd = d // self.heads
+        attn_rate = self.dropout if self.attn_dropout is None else self.attn_dropout
 
         def proj(name):
-            return nn.Dense(d, name=name)(x).reshape(b, l, self.heads, hd)
+            return nn.Dense(d, name=name,
+                            dtype=self.dtype)(x).reshape(b, l, self.heads, hd)
 
         q = proj("query").transpose(0, 2, 1, 3)  # [B, H, L, hd]
         k = proj("key").transpose(0, 2, 1, 3)
         v = proj("value").transpose(0, 2, 1, 3)
 
-        score = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                           preferred_element_type=jnp.float32)
-        score = score / jnp.sqrt(jnp.asarray(hd, score.dtype))
-        if mask is not None:
-            score = jnp.where(mask == 0, jnp.asarray(-1e9, score.dtype), score)
-        probs = jax.nn.softmax(score, axis=-1).astype(x.dtype)
-        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        if self.flash and mask is None and attn_rate == 0.0:
+            out = _flash_attention(q, k, v, sm_scale=1.0 / float(hd) ** 0.5)
+        else:
+            score = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                               preferred_element_type=self.score_dtype)
+            score = score / jnp.sqrt(jnp.asarray(hd, score.dtype))
+            if mask is not None:
+                score = jnp.where(mask == 0,
+                                  jnp.asarray(-1e9, score.dtype), score)
+            probs = jax.nn.softmax(score, axis=-1).astype(self.dtype)
+            probs = nn.Dropout(attn_rate)(probs, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
-        return nn.Dense(d, name="output")(out)
+        return nn.Dense(d, name="output", dtype=self.dtype)(out)
 
 
 class FeedForward(nn.Module):
     dims: int
     hidden_dims: int
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        h = nn.leaky_relu(nn.Dense(self.hidden_dims, name="w_1")(x),
-                          negative_slope=0.1)
-        h = nn.LayerNorm()(h)
-        h = nn.leaky_relu(nn.Dense(self.dims, name="w_2")(h),
-                          negative_slope=0.1)
+        h = nn.leaky_relu(nn.Dense(self.hidden_dims, name="w_1",
+                                   dtype=self.dtype)(x), negative_slope=0.1)
+        h = nn.LayerNorm(dtype=self.dtype)(h)
+        h = nn.leaky_relu(nn.Dense(self.dims, name="w_2",
+                                   dtype=self.dtype)(h), negative_slope=0.1)
         return nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
 
@@ -81,25 +128,43 @@ class TransformerBlock(nn.Module):
     feed_forward_hidden: int
     dropout: float = 0.1
     pre_ln: bool = False
+    dtype: jnp.dtype = jnp.float32
+    attn_dropout: float | None = None
+    flash: bool = False
+    score_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None,
                  deterministic: bool = True) -> jax.Array:
         attn = MultiHeadAttention(self.attn_heads, self.dims, self.dropout,
+                                  dtype=self.dtype,
+                                  attn_dropout=self.attn_dropout,
+                                  flash=self.flash,
+                                  score_dtype=self.score_dtype,
                                   name="attention")
         ffn = FeedForward(self.dims, self.feed_forward_hidden, self.dropout,
-                          name="feed_forward")
+                          dtype=self.dtype, name="feed_forward")
         drop = lambda y: nn.Dropout(self.dropout)(y, deterministic=deterministic)
 
+        x = x.astype(self.dtype)
         if self.pre_ln:
-            x = x + drop(attn(nn.LayerNorm()(x), mask, deterministic))
-            x = x + drop(ffn(nn.LayerNorm()(x), deterministic))
+            x = x + drop(attn(nn.LayerNorm(dtype=self.dtype)(x), mask,
+                              deterministic))
+            x = x + drop(ffn(nn.LayerNorm(dtype=self.dtype)(x), deterministic))
             return x
 
         # Reference post-LN: dropout(LN(x + sublayer(x))) twice, then dropout.
-        x = drop(nn.LayerNorm()(x + attn(x, mask, deterministic)))
-        x = drop(nn.LayerNorm()(x + ffn(x, deterministic)))
+        x = drop(nn.LayerNorm(dtype=self.dtype)(x + attn(x, mask, deterministic)))
+        x = drop(nn.LayerNorm(dtype=self.dtype)(x + ffn(x, deterministic)))
         return drop(x)
+
+
+class _CarryBlock(TransformerBlock):
+    """TransformerBlock with (carry, output) calling convention for
+    nn.scan: the layer output is the next carry, no per-layer ys."""
+
+    def __call__(self, x, mask=None, deterministic=True):
+        return super().__call__(x, mask, deterministic), None
 
 
 class Encoder(nn.Module):
@@ -116,6 +181,13 @@ class Encoder(nn.Module):
     dropout: float = 0.1
     pre_ln: bool = False
     remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+    attn_dropout: float | None = None
+    flash: bool = False
+    score_dtype: jnp.dtype = jnp.float32
+    scan: bool = False  # lax.scan over layers: one traced block body
+    # instead of n_layers inlined copies — ~10x smaller HLO / compile time.
+    # Parameters gain a leading [n_layers] axis under this layout.
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None,
@@ -123,8 +195,26 @@ class Encoder(nn.Module):
         block_cls = TransformerBlock
         if self.remat:
             block_cls = nn.remat(TransformerBlock, static_argnums=(3,))
+        x = x.astype(self.dtype)  # scan carry must be type-stable
+        if self.scan:
+            inner = _CarryBlock
+            if self.remat:
+                inner = nn.remat(_CarryBlock, static_argnums=(3,))
+            scan_cls = nn.scan(
+                inner,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.n_layers,
+            )
+            x, _ = scan_cls(self.dims, self.attn_heads, 4 * self.dims,
+                            self.dropout, self.pre_ln, self.dtype,
+                            self.attn_dropout, self.flash, self.score_dtype,
+                            name="blocks")(x, mask, deterministic)
+            return x
         for i in range(self.n_layers):
             x = block_cls(self.dims, self.attn_heads, 4 * self.dims,
-                          self.dropout, self.pre_ln,
+                          self.dropout, self.pre_ln, self.dtype,
+                          self.attn_dropout, self.flash, self.score_dtype,
                           name=f"block_{i}")(x, mask, deterministic)
         return x

@@ -54,6 +54,64 @@ class WindowRefContext:
     ref_norms: jax.Array
 
 
+@struct.dataclass
+class TokenWindowContext:
+    """Per-window retrieval state for the V17 token-space mode
+    (src/dataset/rag_train_dataset.py:22-358): the index is over raw
+    *masked token vectors* (d = L) and retrieval returns the *unmasked*
+    token segments, which the model re-encodes through the full
+    transformer (BERTWithRAG.encode_rag_segments)."""
+
+    ref_tokens_masked: jax.Array   # [N, L] int32 (search side)
+    ref_tokens: jax.Array          # [N, L] complete tokens (result side)
+    ref_norms: jax.Array           # [N] f32 norms of masked vectors
+
+
+def build_token_window_ctx(ref_tokens: jax.Array, window_mask: jax.Array,
+                           valid: jax.Array | None = None
+                           ) -> TokenWindowContext:
+    """Token-space 'index build': mask the refs and cache vector norms
+    (replaces the per-window faiss.IndexFlatL2(1030).add,
+    rag_train_dataset.py:129-137)."""
+    masked = apply_token_mask(ref_tokens, window_mask)
+    norms = l2_ref.squared_norms(masked.astype(jnp.float32))
+    if valid is not None:
+        norms = jnp.where(valid, norms, jnp.inf)
+    return TokenWindowContext(ref_tokens_masked=masked,
+                              ref_tokens=ref_tokens, ref_norms=norms)
+
+
+def retrieve_tokens(batch: dict, ctx: TokenWindowContext, k: int = 1,
+                    use_pallas: bool | None = None) -> dict:
+    """Token-space retrieval: L2 over raw masked token vectors, returning
+    unmasked token segments ``rag_seg_h{1,2}`` [B, K, L]
+    (rag_collate_fn_with_dataset, rag_train_dataset.py:232-358).
+
+    Non-differentiable by construction (token ids), matching the
+    reference, where retrieval runs in DataLoader workers.
+    """
+    if use_pallas is None:
+        n = ctx.ref_tokens_masked.shape[0]
+        use_pallas = (jax.default_backend() == "tpu" and n > 16384)
+    refs = ctx.ref_tokens_masked.astype(jnp.float32)
+
+    def search(tokens):
+        q = tokens.astype(jnp.float32)
+        if use_pallas:
+            _, ids = l2_topk_pallas(q, refs, ctx.ref_norms, k)
+        else:
+            d = l2_ref.l2_distances(q, refs, r_norms=ctx.ref_norms)
+            _, ids = l2_ref.topk_smallest(d, k)
+        return ids
+
+    i1 = search(batch["hap_1"])  # [B, k]
+    i2 = search(batch["hap_2"])
+    out = dict(batch)
+    out["rag_seg_h1"] = ctx.ref_tokens[i1]  # [B, k, L]
+    out["rag_seg_h2"] = ctx.ref_tokens[i2]
+    return out
+
+
 def apply_token_mask(tokens: jax.Array, mask: jax.Array) -> jax.Array:
     """Overwrite masked positions with the [MASK] token
     (embedding_rag_dataset.py:446-461); ``mask`` is in padded coords [L]."""
@@ -91,13 +149,25 @@ def encode_window_refs(embed_fn: Callable, params: Any,
 
 
 def _search(q_emb: jax.Array, ctx: WindowRefContext, k: int,
-            use_pallas: bool) -> jax.Array:
-    """Top-k ids for queries [B, L, D] against the window context."""
+            use_pallas: bool | None) -> jax.Array:
+    """Top-k ids for queries [B, L, D] against the window context.
+
+    Kernel choice is workload-aware: for the in-training shape (B ~ 24
+    queries vs N ~ 2k refs) one XLA matmul + lax.top_k is already
+    MXU-optimal and compiles in seconds, while the streaming Pallas kernel
+    pays off when N is large enough that materializing [B, N] distances
+    (and its compile cost over huge-d grids) matters — the serving /
+    offline-query regime.  ``use_pallas`` overrides: True/False force a
+    path, None auto-selects.
+    """
     b = q_emb.shape[0]
     n = ctx.ref_emb_search.shape[0]
     qf = jax.lax.stop_gradient(q_emb).astype(ctx.ref_emb_search.dtype)
     qf = qf.reshape(b, -1)
     rf = ctx.ref_emb_search.reshape(n, -1)
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and b * n > 4_000_000)
     if use_pallas:
         _, ids = l2_topk_pallas(qf, rf, ctx.ref_norms, k)
     else:
@@ -117,9 +187,6 @@ def retrieve(embed_fn: Callable, params: Any, batch: dict,
     [B, K, L, D] (with gradient through the re-embedding), matching
     process_batch_retrieval (embedding_rag_dataset.py:285-444).
     """
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-
     def embed(tokens, af):
         return embed_fn(params, tokens, af, deterministic, rngs)
 

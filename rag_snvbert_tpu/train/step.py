@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from flax.training import train_state
 
 from . import losses, metrics
-from .retrieval import WindowRefContext, retrieve
+from .retrieval import (TokenWindowContext, WindowRefContext, retrieve,
+                        retrieve_tokens)
 
 
 class TrainState(train_state.TrainState):
@@ -48,7 +49,11 @@ def _forward(apply_fn: Callable, embed_fn: Callable, params: Any,
              batch: dict, ctx: WindowRefContext | None, cfg: StepConfig,
              deterministic: bool, dropout_rng) -> tuple[jax.Array, tuple]:
     rngs = None if deterministic else {"dropout": dropout_rng}
-    if ctx is not None:
+    if isinstance(ctx, TokenWindowContext):
+        # V17 token-space mode: retrieval returns raw token segments; the
+        # model (BERTWithRAG) re-encodes them through the transformer.
+        batch = retrieve_tokens(batch, ctx, cfg.rag_k, cfg.use_pallas)
+    elif ctx is not None:
         batch = retrieve(embed_fn, params, batch, ctx, cfg.rag_k,
                          cfg.use_pallas, deterministic, rngs)
     outputs = apply_fn({"params": params}, batch, deterministic=deterministic,
@@ -62,13 +67,18 @@ def _forward(apply_fn: Callable, embed_fn: Callable, params: Any,
     return loss, (aux, counters)
 
 
-@partial(jax.jit, static_argnames=("embed_fn", "cfg"))
+@partial(jax.jit, static_argnames=("embed_fn", "cfg"),
+         donate_argnames=("state",))
 def train_step(state: TrainState, batch: dict,
                ctx: WindowRefContext | None, rng: jax.Array,
                embed_fn: Callable, cfg: StepConfig
                ) -> tuple[TrainState, dict]:
     """One optimizer step.  ``ctx`` is the current window's retrieval
-    context (None disables RAG — the plain-BERT path)."""
+    context (None disables RAG — the plain-BERT path).
+
+    The input state is donated: its buffers are reused for the output
+    state, so params + optimizer memory is constant across steps even with
+    deep async dispatch pipelines."""
     dropout_rng = jax.random.fold_in(rng, state.step)
 
     def loss_fn(params):

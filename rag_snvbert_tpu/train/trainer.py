@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from ..data import masking
 from ..data.pipeline import WindowDataset
 from . import metrics as metrics_lib
-from .retrieval import WindowRefContext, encode_window_refs
+from .retrieval import (WindowRefContext, build_token_window_ctx,
+                        encode_window_refs)
 from .schedule import make_optimizer
 from .step import StepConfig, TrainState, eval_step, train_step
 
@@ -58,6 +59,7 @@ class TrainerConfig:
     min_delta: float = 0.001
     val_metric: str = "hap_f1"
     ref_pad_haps: int = 2048           # static panel-size pad per window
+    rag_mode: str = "embedding"        # "embedding" (V18) | "token" (V17) | "none"
     output_dir: str = "runs/default"
     log_freq: int = 100
     seed: int = 42
@@ -88,12 +90,17 @@ class Trainer:
 
     def __init__(self, model, embed_fn: Callable, train_ds: WindowDataset,
                  cfg: TrainerConfig, val_ds: WindowDataset | None = None,
-                 init_params: Any | None = None):
+                 init_params: Any | None = None, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh for data-parallel training —
+        params/opt-state replicated, batches sharded over the ``data`` axis
+        (gradient psum over ICI inserted by the compiler).  Batch size must
+        be a multiple of the data-axis size."""
         self.model = model
         self.embed_fn = embed_fn
         self.train_ds = train_ds
         self.val_ds = val_ds
         self.cfg = cfg
+        self.mesh = mesh
         self.level = 0
         self.start_epoch = 0
         self.stopper = EarlyStopping(cfg.patience, cfg.min_delta)
@@ -107,9 +114,9 @@ class Trainer:
         if init_params is None:
             from ..models import init_batch
             dims = model.bert.dims
-            init_params = model.init(
-                jax.random.key(cfg.seed),
-                init_batch(1, train_ds.seq_len, dims))["params"]
+            init_params = jax.jit(lambda k: model.init(
+                k, init_batch(1, train_ds.seq_len, dims)))(
+                jax.random.key(cfg.seed))["params"]
         tx = make_optimizer(cfg.init_lr, cfg.max_lr, cfg.warmup_steps,
                             accum_steps=cfg.grad_accum_steps)
         self.state = TrainState.create(apply_fn=model.apply,
@@ -118,18 +125,33 @@ class Trainer:
         # Resolve the search-kernel path from where the params actually live
         # (the axon TPU registers as default backend even when work is
         # pinned to CPU, so jax.default_backend() alone is unreliable).
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert cfg.batch_size % self.mesh.shape["data"] == 0, (
+                "batch_size must divide evenly over the data axis")
+            self._repl = NamedSharding(self.mesh, P())
+            self._data_sh = NamedSharding(self.mesh, P("data"))
+            self.state = jax.device_put(self.state, self._repl)
         leaf = jax.tree.leaves(self.state.params)[0]
         platform = getattr(getattr(leaf, "device", None), "platform", None)
+        if platform is None and self.mesh is not None:
+            platform = next(iter(self.mesh.devices.flat)).platform
+        # On CPU force the XLA path; on TPU leave None so retrieval
+        # auto-selects by workload size.
         self.step_cfg = dataclasses.replace(
-            self.step_cfg, use_pallas=(platform == "tpu"))
+            self.step_cfg, use_pallas=None if platform == "tpu" else False)
 
     # ---- retrieval context management (the JIT index cache, functional) ----
 
-    def _window_ctx(self, ds: WindowDataset, meta, level: int,
-                    seed: int) -> WindowRefContext:
+    def _window_ctx(self, ds: WindowDataset, meta, level: int, seed: int):
         toks, af, valid = ds.window_ref_tokens(
             meta, pad_haps_to=self.cfg.ref_pad_haps)
         wmask = ds.window_mask(meta, level, seed)
+        if self.cfg.rag_mode == "token":
+            return build_token_window_ctx(jnp.asarray(toks),
+                                          jnp.asarray(wmask),
+                                          valid=jnp.asarray(valid))
         return encode_window_refs(
             self.embed_fn, self.state.params, jnp.asarray(toks),
             jnp.asarray(af), jnp.asarray(wmask), valid=jnp.asarray(valid))
@@ -147,14 +169,20 @@ class Trainer:
         t0 = time.time()
         current_wid = -1
         ctx = None
-        use_rag = ds.ref_vcf is not None
+        use_rag = ds.ref_vcf is not None and self.cfg.rag_mode != "none"
         for meta, np_batch in ds.epoch_batches(bs, epoch, level,
                                                shuffle=train, seed=seed):
             if use_rag and meta.window_idx != current_wid:
                 # window switch -> rebuild the derived retrieval context
                 ctx = self._window_ctx(ds, meta, level, seed)
+                if self.mesh is not None:
+                    ctx = jax.device_put(ctx, self._repl)
                 current_wid = meta.window_idx
-            batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+            if self.mesh is not None:
+                batch = {k: jax.device_put(v, self._data_sh)
+                         for k, v in np_batch.items()}
+            else:
+                batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
             if train:
                 self.state, stats = train_step(self.state, batch, ctx,
                                                self.rng, self.embed_fn,

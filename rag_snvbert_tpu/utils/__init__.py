@@ -1,0 +1,1 @@
+from .timing import Phase, annotate, profile_trace, timer

@@ -1,0 +1,54 @@
+"""Data-parallel Trainer on the 8-device virtual CPU mesh: same math as
+single-device training (gradient psum correctness)."""
+
+import numpy as np
+import jax
+import pytest
+
+from rag_snvbert_tpu.data.pipeline import WindowDataset
+from rag_snvbert_tpu.io.synthetic import make_bundle
+from rag_snvbert_tpu.models import BERTFoundationModel, BERTWithEmbeddingRAG
+from rag_snvbert_tpu.parallel.mesh import make_mesh
+from rag_snvbert_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def build(mesh, out_dir, epochs=1):
+    b = make_bundle(n_train_samples=8, n_ref_samples=12, n_sites=96,
+                    n_windows=2, seed=11)
+    ds = WindowDataset(b.train, b.panel, b.freq, b.window.window_info,
+                       b.vocab, ref_vcf=b.ref, seq_len=80)
+    bert = BERTWithEmbeddingRAG(vocab_size=b.vocab.size, dims=32,
+                                n_layers=1, attn_heads=4)
+    model = BERTFoundationModel(bert=bert)
+
+    def embed_fn(p, toks, af, deterministic, rngs=None):
+        return model.apply({"params": p}, toks, af, deterministic,
+                           method=model.embed, rngs=rngs)
+
+    cfg = TrainerConfig(epochs=epochs, batch_size=8, val_batch_size=8,
+                        warmup_steps=10, ref_pad_haps=32,
+                        output_dir=str(out_dir), log_freq=1000)
+    return Trainer(model, embed_fn, ds, cfg, mesh=mesh), model
+
+
+def test_mesh_trainer_matches_single_device(tmp_path):
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("need 8 cpu devices")
+    mesh = make_mesh(n_data=8, n_index=1, devices=devs[:8])
+
+    t_mesh, _ = build(mesh, tmp_path / "mesh")
+    t_single, _ = build(None, tmp_path / "single")
+
+    r_mesh = t_mesh.fit()
+    r_single = t_single.fit()
+
+    lm = r_mesh["history"][0]["train_loss"]
+    ls = r_single["history"][0]["train_loss"]
+    # identical data order/seeds -> identical loss up to reduction order
+    assert abs(lm - ls) / max(abs(ls), 1.0) < 1e-3
+
+    pm = jax.tree.leaves(t_mesh.state.params)[0]
+    ps = jax.tree.leaves(t_single.state.params)[0]
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(ps),
+                               rtol=2e-3, atol=2e-4)
