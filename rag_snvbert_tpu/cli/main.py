@@ -218,6 +218,10 @@ def cmd_train(args):
     from ..models import BERTFoundationModel, BERTWithEmbeddingRAG
     from ..train.trainer import Trainer, TrainerConfig
 
+    from ..config import get_preset
+
+    preset = get_preset(args.preset) if args.preset else None
+
     train_vcf = load_vcf_or_hdf5(args.train_dataset)
     panel = PanelData.from_file(args.train_panel)
     freq = FreqTable.load(args.freq_path)
@@ -234,16 +238,21 @@ def cmd_train(args):
         val_ds = WindowDataset(val_vcf, val_panel, freq, win.window_info,
                                vocab, ref_vcf=ref_vcf, seq_len=args.seq_len)
 
-    bert = BERTWithEmbeddingRAG(vocab_size=vocab.size, dims=args.dims,
-                                n_layers=args.layers,
-                                attn_heads=args.attn_heads)
-    model = BERTFoundationModel(bert=bert)
+    if preset is not None:
+        model = preset.build_model(vocab_size=vocab.size)
+    else:
+        bert = BERTWithEmbeddingRAG(vocab_size=vocab.size, dims=args.dims,
+                                    n_layers=args.layers,
+                                    attn_heads=args.attn_heads)
+        model = BERTFoundationModel(bert=bert)
 
     def embed_fn(p, toks, af, deterministic, rngs=None):
         return model.apply({"params": p}, toks, af, deterministic,
                            method=model.embed, rngs=rngs)
 
+    rag_mode = preset.model.rag_mode if preset else "embedding"
     cfg = TrainerConfig(
+        rag_mode=rag_mode,
         epochs=args.epochs, batch_size=args.train_batch_size,
         val_batch_size=args.val_batch_size, init_lr=args.init_lr,
         max_lr=args.lr, warmup_steps=args.warmup_steps,
@@ -380,6 +389,8 @@ def build_parser() -> argparse.ArgumentParser:
     pq.set_defaults(fn=cmd_query)
 
     pt = sub.add_parser("train")
+    pt.add_argument("--preset", default=None,
+                    help="named config preset (see rag_snvbert_tpu/config.py)")
     pt.add_argument("--train_dataset", required=True)
     pt.add_argument("--train_panel", required=True)
     pt.add_argument("--val_dataset", default=None)

@@ -31,6 +31,8 @@ class ModelConfig:
     bf16: bool = False            # bf16 compute dtype for the encoder
     attn_dropout: float | None = None  # 0 disables attention-prob dropout
     scan_layers: bool = False     # lax.scan over encoder layers (fast compile)
+    flash_attention: bool = False
+    score_bf16: bool = False      # bf16 attention scores (XLA path)
     compat_double_softmax: bool = False
 
 
@@ -64,7 +66,9 @@ class RunConfig:
                    attn_heads=m.attn_heads, dropout=m.dropout,
                    pre_ln=m.pre_ln, remat=m.remat,
                    dtype=jnp.bfloat16 if m.bf16 else jnp.float32,
-                   attn_dropout=m.attn_dropout, scan_layers=m.scan_layers)
+                   attn_dropout=m.attn_dropout, scan_layers=m.scan_layers,
+                   flash_attention=m.flash_attention,
+                   score_dtype=jnp.bfloat16 if m.score_bf16 else jnp.float32)
         return BERTFoundationModel(bert=bert,
                                    compat_double_softmax=m.compat_double_softmax)
 
@@ -92,12 +96,17 @@ PRESETS: dict[str, RunConfig] = {
     # v18 at the 256d "Large" point (HOW_TO_RUN.md:79-81)
     "v18_large": RunConfig(
         model=ModelConfig(dims=256, n_layers=12, attn_heads=8)),
-    # TPU-tuned variant: pre-LN + remat + bf16-friendly sizes — the
-    # recommended starting point for new training runs on TPU.
+    # TPU-tuned variant — the recommended starting point for new training
+    # runs on TPU.  Measured ablation (v5e, 12L/384d, L=1030, 48 streams):
+    # attention-score HBM traffic dominates the step, so this preset uses
+    # 3 fat heads (head_dim 128: score bytes are B*H*L^2, FLOPs are not)
+    # + bf16 scores + remat + scanned layers -> encoder fwd+bwd 522 ms ->
+    # 168 ms.  Same parameter count as 12 heads.
     "tpu_default": RunConfig(
-        model=ModelConfig(dims=384, n_layers=12, attn_heads=12,
+        model=ModelConfig(dims=384, n_layers=12, attn_heads=3,
                           pre_ln=True, remat=True, bf16=True,
-                          attn_dropout=0.0, scan_layers=True)),
+                          attn_dropout=0.0, scan_layers=True,
+                          score_bf16=True)),
 }
 
 

@@ -115,13 +115,19 @@ class FlatL2Index:
     # ---- persistence (replaces faiss.write_index / read_index) ----
 
     def save(self, path: str) -> None:
-        np.savez(path, vectors=np.asarray(self.vectors),
-                 norms=np.asarray(self.norms))
+        v = self.vectors
+        dtype_name = str(v.dtype)
+        if v.dtype == jnp.bfloat16:  # npz has no bf16; store f32 + tag
+            v = v.astype(jnp.float32)
+        np.savez(path, vectors=np.asarray(v), norms=np.asarray(self.norms),
+                 dtype=np.asarray(dtype_name))
 
     @classmethod
     def load(cls, path: str, device=None) -> "FlatL2Index":
         z = np.load(path if path.endswith(".npz") else path + ".npz")
         v = jax.device_put(z["vectors"], device)
+        if "dtype" in z and str(z["dtype"]) == "bfloat16":
+            v = v.astype(jnp.bfloat16)
         n = jax.device_put(z["norms"], device)
         return cls(vectors=v, norms=n)
 

