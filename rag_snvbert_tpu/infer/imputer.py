@@ -24,7 +24,6 @@ via index.flat.FlatL2Index.save for offline workflows).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import numpy as np
@@ -35,7 +34,7 @@ import jax.numpy as jnp
 from ..data.tokenize import position_normalize, sequence_padding, tokenize
 from ..io.freq import AF, FreqTable
 from ..io.vcf import VCFData, write_imputed_vcf
-from ..io.vocab import INFER_WINDOW_LEN, MASK, MAX_SEQ_LEN
+from ..io.vocab import INFER_WINDOW_LEN, MAX_SEQ_LEN
 from ..train.retrieval import WindowRefContext, encode_window_refs, retrieve
 
 

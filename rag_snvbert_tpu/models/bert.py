@@ -12,7 +12,6 @@ Returns (h1, h2, h1_origin, h2_origin) like the reference.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -71,11 +71,15 @@ def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
     def _():
         qn[:] += jnp.sum(q * q, axis=1, keepdims=True)
 
-    # MXU: partial dot products q @ r^T over this d tile.
+    # MXU: partial dot products q @ r^T over this d tile.  HIGHEST
+    # precision keeps f32 inputs exact (multi-pass); bf16 inputs are
+    # single-pass either way, so the hot genotype/embedding paths pay
+    # nothing and float32 vectors keep FAISS-grade exactness.
     acc[:] += jax.lax.dot_general(
         q, r_ref[:].astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     # After the last d tile: form this ref tile's distances and merge them

@@ -24,14 +24,12 @@ TPU-native re-design:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..index.flat import FlatL2Index
 from ..io.vocab import MASK
 from ..ops import l2_ref
 from ..ops.l2_topk_pallas import l2_topk_pallas

@@ -32,8 +32,7 @@ import jax.numpy as jnp
 from ..data import masking
 from ..data.pipeline import WindowDataset
 from . import metrics as metrics_lib
-from .retrieval import (WindowRefContext, build_token_window_ctx,
-                        encode_window_refs)
+from .retrieval import build_token_window_ctx, encode_window_refs
 from .schedule import make_optimizer
 from .step import StepConfig, TrainState, eval_step, train_step
 

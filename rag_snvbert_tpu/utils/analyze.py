@@ -76,6 +76,40 @@ def plot_metrics(run_dir: str, out_path: str | None = None):
     return out
 
 
+def compare_checkpoints(path_a: str, path_b: str, top: int = 10) -> pd.DataFrame:
+    """Per-parameter drift between two orbax checkpoints (the reference's
+    debug_model_weights.py workflow): L2 norm of the delta and relative
+    change, sorted descending."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        a = ckptr.restore(os.path.abspath(path_a))
+        b = ckptr.restore(os.path.abspath(path_b))
+
+    rows = []
+
+    def walk(pa, pb, prefix):
+        if isinstance(pa, dict):
+            for k in pa:
+                walk(pa[k], pb[k], f"{prefix}/{k}")
+            return
+        pa = np.asarray(pa, np.float64)
+        pb = np.asarray(pb, np.float64)
+        if pa.shape != pb.shape or pa.dtype.kind not in "fiu":
+            return
+        delta = float(np.linalg.norm(pb - pa))
+        base = float(np.linalg.norm(pa))
+        rows.append({"param": prefix, "shape": list(pa.shape),
+                     "delta_l2": delta,
+                     "rel_change": delta / max(base, 1e-12)})
+
+    walk(a.get("params", a), b.get("params", b), "")
+    df = pd.DataFrame(rows).sort_values("delta_l2", ascending=False)
+    return df.head(top) if top else df
+
+
 def inspect_freq(freq_path: str) -> dict:
     """Frequency-table audit (the reference's test_fq.py / test_input_freqnpy
     NaN checks): NaN/inf counts, layer consistency, AF range."""

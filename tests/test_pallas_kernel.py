@@ -39,8 +39,9 @@ def test_kernel_matches_oracle(b, n, d, k):
     ov, oi = _oracle(q, r, k)
     np.testing.assert_allclose(np.asarray(vals), ov, rtol=1e-3, atol=1e-2)
     mism = np.asarray(ids) != oi
-    if mism.any():  # id differences only at distance ties
-        assert np.allclose(np.asarray(vals)[mism], ov[mism], atol=1e-2)
+    if mism.any():  # id differences only at (near-)ties in distance
+        assert np.allclose(np.asarray(vals)[mism], ov[mism],
+                           rtol=1e-3, atol=1e-2)
 
 
 def test_kernel_tie_break_ascending_ids():
