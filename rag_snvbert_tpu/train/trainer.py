@@ -66,6 +66,14 @@ class TrainerConfig:
     # than threefry on TPU (measured: 327 -> 212 ms/step on the flagship) at
     # slightly weaker statistical guarantees — fine for dropout masks.
     rng_impl: str = "rbg"
+    # Dispatch the next window's retrieval-context encode while the current
+    # window is still training (async overlap hides the refresh entirely).
+    # The prefetched index is encoded with params up to one window of steps
+    # older — the same staleness class as the reference's cache, which
+    # builds at window entry and serves a whole window of updates
+    # (embedding_rag_dataset.py:334-377).  Set False for strict
+    # entry-time-params semantics.
+    prefetch_ctx: bool = True
 
 
 @dataclasses.dataclass
@@ -86,6 +94,18 @@ class EarlyStopping:
             return True, False
         self.bad_epochs += 1
         return False, self.bad_epochs >= self.patience
+
+
+def _with_lookahead(it):
+    """Yield (item..., next_meta) with one-step lookahead over
+    (meta, batch) pairs; next_meta is None on the last batch."""
+    prev = None
+    for meta, batch in it:
+        if prev is not None:
+            yield prev[0], prev[1], meta
+        prev = (meta, batch)
+    if prev is not None:
+        yield prev[0], prev[1], None
 
 
 class Trainer:
@@ -117,8 +137,10 @@ class Trainer:
         if init_params is None:
             from ..models import init_batch
             dims = model.bert.dims
-            init_params = jax.jit(lambda k: model.init(
-                k, init_batch(1, train_ds.seq_len, dims)))(
+            ib = init_batch(1, train_ds.seq_len, dims,
+                            with_rag_emb=(cfg.rag_mode == "embedding"),
+                            with_rag_seg=(cfg.rag_mode == "token"))
+            init_params = jax.jit(lambda k: model.init(k, ib))(
                 jax.random.key(cfg.seed))["params"]
         tx = make_optimizer(cfg.init_lr, cfg.max_lr, cfg.warmup_steps,
                             accum_steps=cfg.grad_accum_steps)
@@ -172,15 +194,29 @@ class Trainer:
         t0 = time.time()
         current_wid = -1
         ctx = None
+        prefetched: dict[int, object] = {}
         use_rag = ds.ref_vcf is not None and self.cfg.rag_mode != "none"
-        for meta, np_batch in ds.epoch_batches(bs, epoch, level,
-                                               shuffle=train, seed=seed):
+        for meta, np_batch, next_meta in _with_lookahead(
+                ds.epoch_batches(bs, epoch, level, shuffle=train, seed=seed)):
             if use_rag and meta.window_idx != current_wid:
-                # window switch -> rebuild the derived retrieval context
-                ctx = self._window_ctx(ds, meta, level, seed)
+                # Window switch -> rebuild the derived retrieval context
+                # (prefetched if the previous window already dispatched it).
+                ctx = prefetched.pop(meta.window_idx, None)
+                if ctx is None:
+                    ctx = self._window_ctx(ds, meta, level, seed)
                 if self.mesh is not None:
                     ctx = jax.device_put(ctx, self._repl)
                 current_wid = meta.window_idx
+            if (use_rag and self.cfg.prefetch_ctx and next_meta is not None
+                    and next_meta.window_idx != current_wid
+                    and next_meta.window_idx not in prefetched):
+                # In-loop refresh overlap: dispatch the NEXT window's
+                # encode now — JAX's async dispatch runs it behind the
+                # remaining steps of the current window, hiding the
+                # refresh latency entirely (SURVEY.md section 7, step 6).
+                prefetched.clear()
+                prefetched[next_meta.window_idx] = self._window_ctx(
+                    ds, next_meta, level, seed)
             if self.mesh is not None:
                 batch = {k: jax.device_put(v, self._data_sh)
                          for k, v in np_batch.items()}
