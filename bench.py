@@ -10,9 +10,9 @@ Measurement design for a remote-attached chip:
     (utils/benchmarking.steady_state_ms) — block_until_ready is not a
     reliable barrier here and per-sync round trips are ~28 ms;
   - reference vectors are generated on-device (bernoulli bits), so build
-    time measures the index math (cast + norms), with the host->device
-    link speed reported separately from a small probe — on this tunnel
-    the link is ~2-70 MB/s, which would otherwise swamp every number;
+    time measures the index math (cast + norms) — the host->device link
+    here fluctuates between ~0.02 and ~70 MB/s and would otherwise swamp
+    every number;
   - exactness is recall@10 of the fused Pallas kernel against the
     independent XLA implementation (ops/l2_ref.py, HIGHEST-precision
     matmul + lax.top_k), tie-aware;
@@ -28,6 +28,12 @@ import sys
 import time
 
 import numpy as np
+
+
+def _stamp(msg, _t0=[None]):
+    if _t0[0] is None:
+        _t0[0] = time.time()
+    print(f"[{time.time()-_t0[0]:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def cpu_flat_search(queries, refs, r_norms, k):
@@ -56,6 +62,7 @@ def main():
     cpu_dt_scaled = (time.time() - t0) * (n / n_cpu)
     cpu_qps = cpu_batch / cpu_dt_scaled
 
+    _stamp("cpu baseline done")
     # ---- TPU ----
     import jax
     import jax.numpy as jnp
@@ -64,12 +71,6 @@ def main():
     from rag_snvbert_tpu.ops import l2_ref
     from rag_snvbert_tpu.utils.benchmarking import (fetch_scalar,
                                                     steady_state_ms)
-
-    # host->device link probe (16 MB)
-    probe = np.zeros((16, 1024, 1024), np.int8)
-    t0 = time.time()
-    fetch_scalar(jax.device_put(probe))
-    link_mbps = 16 / max(time.time() - t0, 1e-9)
 
     # device-side data generation
     key = jax.random.key(0)
@@ -82,6 +83,7 @@ def main():
     q = qgen(jax.random.key(1))
     fetch_scalar(q)
 
+    _stamp("data generated")
     # index build (cast + norms) — the rebuild-time metric
     build = jax.jit(lambda r: FlatL2Index.build(r, dtype=jnp.bfloat16))
     t0 = time.time()
@@ -91,6 +93,7 @@ def main():
     r = steady_state_ms(lambda: build(refs_dev), iters_lo=1, iters_hi=3)
     build_steady_s = r["per_iter_ms"] / 1e3
 
+    _stamp("index built")
     # fused-kernel search.  Per-dispatch overhead on a remote-attached
     # chip is ~44 ms, so the throughput loop runs ``chunks`` searches
     # inside one jitted scan — the serving shape (many batches in flight)
@@ -100,32 +103,43 @@ def main():
     fetch_scalar(ids)
     compile_s = time.time() - t0
 
+    _stamp("first search done")
     chunks = 16
 
     # NOTE: big arrays must be ARGUMENTS of jitted functions here — a
     # closed-over device array lowers as a captured HLO constant (2.7 GB!)
     # that the remote compiler would have to ingest.
-    @jax.jit
-    def search_many(vectors, norms, qs):  # qs: [chunks, batch, d]
-        from rag_snvbert_tpu.ops.l2_topk_pallas import l2_topk_pallas
+    def make_many(**search_kw):
+        @jax.jit
+        def search_many(vectors, norms, qs):  # qs: [chunks, batch, d]
+            index = FlatL2Index(vectors=vectors, norms=norms)
 
-        def body(carry, qb):
-            v, i = l2_topk_pallas(qb, vectors, norms, k)
-            return carry, (v, i)
+            def body(carry, qb):
+                v, i = index.search(qb, k=k, **search_kw)
+                return carry, (v, i)
 
-        _, (v, i) = jax.lax.scan(body, 0, qs)
-        return v, i
+            _, (v, i) = jax.lax.scan(body, 0, qs)
+            return v, i
+
+        return search_many
 
     qs = jnp.broadcast_to(q[None], (chunks, batch, d)).astype(q.dtype)
-    fetch_scalar(search_many(idx.vectors, idx.norms, qs)[1])
-    timing = steady_state_ms(lambda: search_many(idx.vectors, idx.norms, qs),
-                             iters_lo=1, iters_hi=3)
-    tpu_dt = timing["per_iter_ms"] / 1e3 / chunks
-    tpu_qps = batch / tpu_dt
 
-    # tie-aware recall vs the independent XLA exact implementation.
-    # Oracle on a query subset: lax.top_k over [B, 664k] rows is a full
-    # sort per row — exactness needs few rows, not the serving batch.
+    def qps_of(fn):
+        fetch_scalar(fn(idx.vectors, idx.norms, qs)[1])
+        t = steady_state_ms(lambda: fn(idx.vectors, idx.norms, qs),
+                            iters_lo=1, iters_hi=3)
+        return batch / (t["per_iter_ms"] / 1e3 / chunks)
+
+    tpu_qps = qps_of(make_many())                       # exact, auto path
+    approx_qps = qps_of(make_many(approx=True))         # hardware topk
+    stream_qps = qps_of(make_many(use_pallas=True))     # streaming kernel
+    tpu_dt = batch / tpu_qps
+
+    _stamp("qps paths done")
+    # tie-aware recall: the streaming Pallas kernel vs the independent XLA
+    # exact implementation, on a query subset (lax.top_k over [B, 664k]
+    # rows is a full sort per row — exactness needs few rows).
     n_check = 32
 
     def oracle(vectors, q):
@@ -134,10 +148,13 @@ def main():
         return l2_ref.topk_smallest(dm, k)
 
     ov, oi = jax.jit(oracle)(idx.vectors, q[:n_check])
-    kth = np.asarray(ov)[:, -1][:, None]
-    got_vals = np.asarray(vals)[:n_check]
-    recall = float((got_vals <= kth * (1 + 1e-3) + 1e-3).mean())
+    from rag_snvbert_tpu.ops.l2_topk_pallas import l2_topk_pallas
 
+    kv, ki = l2_topk_pallas(q[:n_check], idx.vectors, idx.norms, k)
+    kth = np.asarray(ov)[:, -1][:, None]
+    recall = float((np.asarray(kv) <= kth * (1 + 1e-3) + 1e-3).mean())
+
+    _stamp("recall done")
     result = {
         "metric": "l2_query_qps_chip",
         "value": round(tpu_qps, 1),
@@ -151,9 +168,10 @@ def main():
             "index_build_steady_s": round(build_steady_s, 3),
             "first_search_s": round(compile_s, 3),
             "steady_ms_per_batch": round(tpu_dt * 1e3, 3),
+            "approx_qps": round(approx_qps, 1),
+            "streaming_kernel_qps": round(stream_qps, 1),
             "recall_at_10_vs_exact": round(recall, 4),
             "n_vectors": n,
-            "host_device_link_MBps": round(link_mbps, 1),
         },
     }
     print(json.dumps(result))

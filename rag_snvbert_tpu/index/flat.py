@@ -71,16 +71,42 @@ class FlatL2Index:
         v = jnp.asarray(vectors, dtype=dtype)
         return cls(vectors=v, norms=l2_ref.squared_norms(v))
 
+    # Above this distance-matrix size the streaming Pallas kernel (which
+    # never materializes [B, N]) takes over from the XLA matmul + top_k
+    # path.  Measured on v5e at N=664k, d=2040, k=10, batch 1024: XLA
+    # exact = 41 ms/batch (34% MXU), streaming kernel = 118 ms (12%, the
+    # k-pass merge is VPU-bound), approx_max_k = 17 ms (84%, recall 0.95).
+    _PALLAS_BYTES = 6 << 30
+
     def search(self, queries: jax.Array, k: int,
-               use_pallas: bool | None = None) -> tuple[jax.Array, jax.Array]:
+               use_pallas: bool | None = None, approx: bool = False,
+               recall_target: float = 0.95
+               ) -> tuple[jax.Array, jax.Array]:
         """k-NN search -> (squared dists [B,k], ids [B,k]), ascending.
 
-        ``use_pallas=None`` auto-selects: the fused kernel on TPU, the XLA
-        reference path elsewhere (CPU tests, interpret-free).
+        ``use_pallas=None`` auto-selects by workload: the XLA matmul +
+        exact top_k when the [B, N] distance matrix is affordable, the
+        streaming Pallas kernel when it is not (or off-TPU never).
+        ``approx=True`` uses the TPU's hardware PartialReduce
+        (lax.approx_max_k) — ~2.5x the exact throughput at set-recall
+        ~0.95; the returned distances are exact for the returned ids.
         """
         q = jnp.asarray(queries, dtype=self.vectors.dtype)
+        if approx:
+            qf = q.astype(jnp.float32)
+            dots = jnp.dot(qf, self.vectors.T.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+            # |q|^2 is constant per row: rank-safe to drop in the search,
+            # added back for the returned distances.
+            part = self.norms[None, :] - 2.0 * dots
+            negv, ids = jax.lax.approx_max_k(-part, k,
+                                             recall_target=recall_target)
+            q_norms = jnp.sum(qf * qf, axis=-1, keepdims=True)
+            return jnp.maximum(-negv + q_norms, 0.0), ids
         if use_pallas is None:
-            use_pallas = _on_tpu(self.vectors)
+            b = q.shape[0]
+            use_pallas = (_on_tpu(self.vectors)
+                          and 4 * b * self.ntotal > self._PALLAS_BYTES)
         if use_pallas:
             return l2_topk_pallas(q, self.vectors, self.norms, k)
         d = l2_ref.l2_distances(q, self.vectors, r_norms=self.norms)

@@ -95,8 +95,13 @@ class ShardedFlatL2Index:
     def search(self, queries, k: int, use_pallas: bool | None = None
                ) -> tuple[jax.Array, jax.Array]:
         if use_pallas is None:
-            use_pallas = all(d.platform == "tpu"
-                             for d in self.mesh.devices.flat)
+            # Same routing rule as FlatL2Index: streaming kernel only when
+            # the per-shard [B, N_local] distance matrix is too large.
+            on_tpu = all(dev.platform == "tpu"
+                         for dev in self.mesh.devices.flat)
+            local_rows = self.vectors.shape[0] // self.mesh.shape[self.axis]
+            b = np.asarray(queries).shape[0]
+            use_pallas = on_tpu and 4 * b * local_rows > (6 << 30)
         q = jnp.asarray(queries, dtype=self.vectors.dtype)
         body = partial(_sharded_search_body, k=k, axis=self.axis,
                        use_pallas=use_pallas)

@@ -37,8 +37,12 @@ def l2_distances(queries: jax.Array, refs: jax.Array,
         q_norms = squared_norms(queries)
     if r_norms is None:
         r_norms = squared_norms(refs)
+    # HIGHEST matmul precision keeps f32 vectors exact on the MXU (default
+    # passes round to bf16 and can swap near-tied neighbours); bf16 inputs
+    # are single-pass either way.
     dots = jnp.dot(queries.astype(jnp.float32), refs.astype(jnp.float32).T,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     d = q_norms[:, None] - 2.0 * dots + r_norms[None, :]
     return jnp.maximum(d, 0.0)
 

@@ -1,0 +1,34 @@
+"""Approx search mode: correctness envelope on CPU (the hardware
+PartialReduce path is exercised on TPU by bench.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rag_snvbert_tpu.index import FlatL2Index
+
+from tests.test_index_oracle import numpy_l2_topk
+
+
+def test_approx_mode_high_recall(rng):
+    r = rng.standard_normal((2000, 64)).astype(np.float32)
+    q = rng.standard_normal((16, 64)).astype(np.float32)
+    idx = FlatL2Index.build(r)
+    vals, ids = idx.search(q, k=10, approx=True, recall_target=0.99)
+    ref_vals, ref_ids = numpy_l2_topk(q, r, 10)
+    recall = np.mean([len(set(np.asarray(ids)[i]) & set(ref_ids[i])) / 10
+                      for i in range(16)])
+    assert recall >= 0.9
+    # returned distances are exact for the returned ids
+    d = ((q[:, None, :] - r[np.asarray(ids).ravel()].reshape(16, 10, 64))
+         ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(vals), d, rtol=1e-4, atol=1e-3)
+
+
+def test_exact_auto_path_small(rng):
+    """At small sizes auto routing must stay exact (XLA path)."""
+    r = rng.standard_normal((500, 32)).astype(np.float32)
+    q = rng.standard_normal((8, 32)).astype(np.float32)
+    idx = FlatL2Index.build(r)
+    vals, ids = idx.search(q, k=5)
+    ref_vals, ref_ids = numpy_l2_topk(q, r, 5)
+    np.testing.assert_array_equal(np.asarray(ids), ref_ids)
