@@ -58,7 +58,7 @@ def _add_model_args(p):
 def cmd_prepare_data(args):
     from ..io.freq import FreqTable, build_freq_matrix
     from ..io.panel import PanelData
-    from ..io.vcf import load_vcf_or_hdf5, vcf_to_hdf5
+    from ..io.vcf import load_vcf_or_hdf5
     from ..io.windows import Window
 
     os.makedirs(args.out, exist_ok=True)
@@ -138,7 +138,6 @@ def cmd_query(args):
 
     from ..index.flat import FlatL2Index, HammingIndex
     from ..io.vcf import load_vcf_or_hdf5
-    from ..io.windows import Window
 
     data = load_vcf_or_hdf5(args.vcf)
     with open(os.path.join(args.db, "meta.json")) as f:
@@ -207,8 +206,6 @@ def cmd_query(args):
 # ---------------------------------------------------------------------------
 
 def cmd_train(args):
-    import jax
-
     from ..data.pipeline import WindowDataset
     from ..io.freq import FreqTable
     from ..io.panel import PanelData
@@ -275,31 +272,46 @@ def cmd_train(args):
 
 def cmd_infer(args):
     import jax
-
     from ..infer.imputer import Imputer
     from ..io.freq import FreqTable
     from ..io.vcf import load_vcf_or_hdf5
-    from ..io.vocab import Vocab
-    from ..models import BERTFoundationModel, BERTWithEmbeddingRAG, init_batch
+    from ..models import BERTFoundationModel, BERTWithEmbeddingRAG
 
     ref_vcf = load_vcf_or_hdf5(args.refpanel_path)
     target = load_vcf_or_hdf5(args.target)
     freq = FreqTable.load(args.freq_path)
 
-    vocab_size = args.vocab_size
-    bert = BERTWithEmbeddingRAG(vocab_size=vocab_size, dims=args.dims,
-                                n_layers=args.layers,
-                                attn_heads=args.attn_heads)
-    model = BERTFoundationModel(bert=bert)
+    if args.panel:
+        from ..io.panel import PanelData
+        from ..io.vocab import Vocab
+
+        panel = PanelData.from_file(args.panel)
+        vocab_size = Vocab.from_panel_pops(panel.pop_list).size
+    else:
+        vocab_size = args.vocab_size
+    if args.preset:
+        from ..config import get_preset
+
+        model = get_preset(args.preset).build_model(vocab_size=vocab_size)
+    else:
+        import jax.numpy as jnp
+
+        bert = BERTWithEmbeddingRAG(
+            vocab_size=vocab_size, dims=args.dims, n_layers=args.layers,
+            attn_heads=args.attn_heads, pre_ln=args.pre_ln,
+            scan_layers=args.scan_layers, remat=args.remat,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            attn_dropout=0.0 if args.no_attn_dropout else None,
+            score_dtype=jnp.bfloat16 if args.score_bf16 else jnp.float32)
+        model = BERTFoundationModel(bert=bert)
 
     import orbax.checkpoint as ocp
-    import jax.numpy as jnp
-    params_shape = model.init(jax.random.key(0),
-                              init_batch(1, args.seq_len, args.dims))["params"]
+    # Trainer checkpoints hold {params, opt_state, step, epoch, level};
+    # inference needs only the params, so restore untargeted and pick them.
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.abspath(args.model_path),
-                                 {"params": params_shape})
-    params = restored["params"]
+        restored = ckptr.restore(os.path.abspath(args.model_path))
+    import jax.numpy as _jnp
+    params = jax.tree.map(_jnp.asarray, restored["params"])
 
     def embed_fn(p, toks, af, deterministic, rngs=None):
         return model.apply({"params": p}, toks, af, deterministic,
@@ -423,9 +435,19 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--model_path", required=True)
     pi.add_argument("--output_vcf", required=True)
     pi.add_argument("--npy_prefix", default=None)
-    pi.add_argument("--vocab_size", type=int, default=12)
+    pi.add_argument("--vocab_size", type=int, default=12,
+                    help="used only when --panel is not given")
+    pi.add_argument("--panel", default=None,
+                    help="panel file to derive the vocab size from")
     _add_model_args(pi)
     pi.add_argument("--infer_window_len", type=int, default=1020)
+    pi.add_argument("--preset", default=None)
+    pi.add_argument("--pre_ln", action="store_true")
+    pi.add_argument("--scan_layers", action="store_true")
+    pi.add_argument("--remat", action="store_true")
+    pi.add_argument("--bf16", action="store_true")
+    pi.add_argument("--score_bf16", action="store_true")
+    pi.add_argument("--no_attn_dropout", action="store_true")
     pi.add_argument("--batch_size", type=int, default=32)
     pi.add_argument("--progressive_rounds", type=int, default=1)
     pi.set_defaults(fn=cmd_infer)

@@ -63,6 +63,9 @@ class MultiHeadAttention(nn.Module):
     # L~1030 and remat must keep them; modern practice drops only residuals.
     flash: bool = False        # fused Pallas flash-attention path (TPU).
     # Requires attn_dropout == 0 and no explicit attention mask.
+    remat: bool = False        # checkpoint this attention only (selective
+    # remat: the [B,H,L,L] intermediates are recomputed in backward while
+    # the cheap-to-store FFN activations are kept).
     score_dtype: jnp.dtype = jnp.float32  # XLA-path score matrix dtype;
     # bf16 halves the dominant HBM traffic term at a small numeric cost.
 
@@ -132,16 +135,20 @@ class TransformerBlock(nn.Module):
     attn_dropout: float | None = None
     flash: bool = False
     score_dtype: jnp.dtype = jnp.float32
+    attn_remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None,
                  deterministic: bool = True) -> jax.Array:
-        attn = MultiHeadAttention(self.attn_heads, self.dims, self.dropout,
-                                  dtype=self.dtype,
-                                  attn_dropout=self.attn_dropout,
-                                  flash=self.flash,
-                                  score_dtype=self.score_dtype,
-                                  name="attention")
+        attn_cls = MultiHeadAttention
+        if self.attn_remat:
+            attn_cls = nn.remat(MultiHeadAttention, static_argnums=(3,))
+        attn = attn_cls(self.attn_heads, self.dims, self.dropout,
+                        dtype=self.dtype,
+                        attn_dropout=self.attn_dropout,
+                        flash=self.flash,
+                        score_dtype=self.score_dtype,
+                        name="attention")
         ffn = FeedForward(self.dims, self.feed_forward_hidden, self.dropout,
                           dtype=self.dtype, name="feed_forward")
         drop = lambda y: nn.Dropout(self.dropout)(y, deterministic=deterministic)
@@ -180,7 +187,12 @@ class Encoder(nn.Module):
     attn_heads: int
     dropout: float = 0.1
     pre_ln: bool = False
-    remat: bool = False
+    remat: bool | str = False   # True = checkpoint whole blocks;
+    # "attention" = checkpoint only the attention sublayer (stores FFN
+    # activations, recomputes the [L,L] intermediates).  At the flagship
+    # scale (12L, 48 streams, L=1030) attention-only remat needs ~20 GB
+    # HBM — use full-block remat there; the selective mode fits smaller
+    # batches/sequences.
     dtype: jnp.dtype = jnp.float32
     attn_dropout: float | None = None
     flash: bool = False
@@ -192,13 +204,15 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None,
                  deterministic: bool = True) -> jax.Array:
+        attn_remat = self.remat == "attention"
+        block_remat = self.remat is True
         block_cls = TransformerBlock
-        if self.remat:
+        if block_remat:
             block_cls = nn.remat(TransformerBlock, static_argnums=(3,))
         x = x.astype(self.dtype)  # scan carry must be type-stable
         if self.scan:
             inner = _CarryBlock
-            if self.remat:
+            if block_remat:
                 inner = nn.remat(_CarryBlock, static_argnums=(3,))
             scan_cls = nn.scan(
                 inner,
@@ -210,11 +224,13 @@ class Encoder(nn.Module):
             x, _ = scan_cls(self.dims, self.attn_heads, 4 * self.dims,
                             self.dropout, self.pre_ln, self.dtype,
                             self.attn_dropout, self.flash, self.score_dtype,
+                            attn_remat,
                             name="blocks")(x, mask, deterministic)
             return x
         for i in range(self.n_layers):
             x = block_cls(self.dims, self.attn_heads, 4 * self.dims,
                           self.dropout, self.pre_ln, self.dtype,
                           self.attn_dropout, self.flash, self.score_dtype,
+                          attn_remat,
                           name=f"block_{i}")(x, mask, deterministic)
         return x

@@ -17,6 +17,14 @@ Design (SURVEY.md section 7):
   - ties broken by ascending reference id, matching the stable order of
     ``jax.lax.top_k`` on negated distances (the oracle in ops/l2_ref.py).
 
+Performance note (measured, v5e, N=664k, d=2040, k=10, batch 1024): the
+kernel runs at ~12-13% MXU regardless of tile shape — the cost is the
+k-pass extraction merge (k passes over every distance on the VPU), not the
+matmul or grid overhead.  FlatL2Index.search therefore routes to the XLA
+matmul + top_k path (34% MXU) whenever [B, N] is affordable and reserves
+this kernel for the memory-constrained regime; a selection-network merge
+is the known follow-up.
+
 Padding contract (handled by the wrapper):
   - queries padded to a multiple of the query tile with zeros;
   - refs padded to a multiple of the ref tile with zeros AND ``r_norms``
