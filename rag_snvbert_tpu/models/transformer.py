@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from flax import linen as nn
 
 
@@ -111,6 +112,10 @@ class FeedForward(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         h = nn.leaky_relu(nn.Dense(self.hidden_dims, name="w_1",
                                    dtype=self.dtype)(x), negative_slope=0.1)
+        # Named for selective remat policies: saving this tensor skips
+        # recomputing the block's largest matmul in the backward pass at
+        # ~150 MB/layer (bf16, flagship shapes).
+        h = checkpoint_name(h, "ffn_hidden")
         h = nn.LayerNorm(dtype=self.dtype)(h)
         h = nn.leaky_relu(nn.Dense(self.dims, name="w_2",
                                    dtype=self.dtype)(h), negative_slope=0.1)
@@ -188,11 +193,14 @@ class Encoder(nn.Module):
     dropout: float = 0.1
     pre_ln: bool = False
     remat: bool | str = False   # True = checkpoint whole blocks;
+    # "save_ffn" = block remat that still saves the named ffn_hidden
+    # tensors (skips recomputing the largest matmul at ~150 MB/layer —
+    # measured slightly SLOWER than full-block remat at flagship scale,
+    # 177 vs 168 ms: the extra HBM round trips outweigh the recompute);
     # "attention" = checkpoint only the attention sublayer (stores FFN
     # activations, recomputes the [L,L] intermediates).  At the flagship
     # scale (12L, 48 streams, L=1030) attention-only remat needs ~20 GB
-    # HBM — use full-block remat there; the selective mode fits smaller
-    # batches/sequences.
+    # HBM — use full-block or save_ffn remat there.
     dtype: jnp.dtype = jnp.float32
     attn_dropout: float | None = None
     flash: bool = False
@@ -205,15 +213,21 @@ class Encoder(nn.Module):
     def __call__(self, x: jax.Array, mask: jax.Array | None = None,
                  deterministic: bool = True) -> jax.Array:
         attn_remat = self.remat == "attention"
-        block_remat = self.remat is True
+        block_remat = self.remat is True or self.remat == "save_ffn"
+        policy = None
+        if self.remat == "save_ffn":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "ffn_hidden")
         block_cls = TransformerBlock
         if block_remat:
-            block_cls = nn.remat(TransformerBlock, static_argnums=(3,))
+            block_cls = nn.remat(TransformerBlock, static_argnums=(3,),
+                                 policy=policy)
         x = x.astype(self.dtype)  # scan carry must be type-stable
         if self.scan:
             inner = _CarryBlock
             if block_remat:
-                inner = nn.remat(_CarryBlock, static_argnums=(3,))
+                inner = nn.remat(_CarryBlock, static_argnums=(3,),
+                                 policy=policy)
             scan_cls = nn.scan(
                 inner,
                 variable_axes={"params": 0},
