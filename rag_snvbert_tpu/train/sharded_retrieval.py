@@ -1,0 +1,138 @@
+"""Sharded in-training retrieval: the reference-panel rows of a window's
+search context live sharded across the mesh's ``index`` axis.
+
+For chr21-scale panels (2008 haplotypes) the per-window context fits one
+chip and train/retrieval.py keeps it replicated; this module is the
+scale-out path (SURVEY.md section 7 step 6, ROADMAP item 4) for panels
+whose masked-embedding matrix [N, L*D] exceeds one chip's HBM:
+
+  - the context is ENCODED shard-locally — each device embeds only its own
+    reference rows under shard_map, so the refresh generates no cross-chip
+    traffic at all (SURVEY.md section 5: "each shard re-encodes its own
+    rows — no traffic — then barrier");
+  - search runs per shard (workload-routed, as index/sharded.py) and the
+    tiny [B, k] candidate sets merge exactly over ICI via all_gather;
+  - the retrieved COMPLETE tokens stay replicated (ints, [N, L] — a few
+    hundred MB at worst), so the gradient-bearing re-embedding gather is
+    local.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..index.sharded import _sharded_search_body
+from ..parallel.mesh import INDEX_AXIS
+from .retrieval import apply_token_mask
+
+
+@struct.dataclass
+class ShardedWindowRefContext:
+    """Sharded-search side + replicated result side of one window."""
+
+    ref_emb_flat: jax.Array   # [N_pad, L*D] sharded over the index axis
+    ref_norms: jax.Array      # [N_pad] sharded (+inf on padding rows)
+    ref_tokens: jax.Array     # [N_pad, L] replicated complete tokens
+    ref_af: jax.Array         # [L] replicated
+
+
+def encode_window_refs_sharded(embed_fn: Callable, params: Any,
+                               ref_tokens: jax.Array, ref_af: jax.Array,
+                               window_mask: jax.Array, mesh: Mesh,
+                               valid: jax.Array | None = None,
+                               axis: str = INDEX_AXIS,
+                               dtype=jnp.bfloat16) -> ShardedWindowRefContext:
+    """Build a sharded window context: shard-local masked-ref encoding.
+
+    ``ref_tokens`` [N, L] is padded so N divides the axis size; each shard
+    embeds only its rows (no collective in the refresh path).
+    """
+    n, l = ref_tokens.shape
+    n_shards = mesh.shape[axis]
+    per = -(-n // n_shards)
+    n_pad = per * n_shards
+    toks = jnp.pad(ref_tokens, ((0, n_pad - n), (0, 0)))
+    valid_full = jnp.pad(
+        valid if valid is not None else jnp.ones(n, bool),
+        (0, n_pad - n), constant_values=False)
+
+    toks_sh = jax.device_put(toks, NamedSharding(mesh, P(axis)))
+    valid_sh = jax.device_put(valid_full, NamedSharding(mesh, P(axis)))
+    af_rep = jax.device_put(jnp.asarray(ref_af), NamedSharding(mesh, P()))
+    mask_rep = jax.device_put(jnp.asarray(window_mask),
+                              NamedSharding(mesh, P()))
+
+    def local_encode(toks_local, valid_local, af, wmask):
+        masked = apply_token_mask(toks_local, wmask)
+        af_exp = jnp.broadcast_to(af[None, :], masked.shape)
+        emb = embed_fn(params, masked, af_exp, True)
+        emb = jax.lax.stop_gradient(emb).astype(dtype)
+        flat = emb.reshape(emb.shape[0], -1)
+        norms = jnp.sum(flat.astype(jnp.float32) ** 2, axis=-1)
+        norms = jnp.where(valid_local, norms, jnp.inf)
+        return flat, norms
+
+    fn = jax.shard_map(local_encode, mesh=mesh,
+                       in_specs=(P(axis), P(axis), P(), P()),
+                       out_specs=(P(axis), P(axis)),
+                       check_vma=False)
+    flat, norms = jax.jit(fn)(toks_sh, valid_sh, af_rep, mask_rep)
+    toks_rep = jax.device_put(toks, NamedSharding(mesh, P()))
+    return ShardedWindowRefContext(ref_emb_flat=flat, ref_norms=norms,
+                                   ref_tokens=toks_rep, ref_af=af_rep)
+
+
+def retrieve_sharded(embed_fn: Callable, params: Any, batch: dict,
+                     ctx: ShardedWindowRefContext, mesh: Mesh, k: int = 1,
+                     axis: str = INDEX_AXIS,
+                     deterministic: bool = True,
+                     rngs: dict | None = None) -> dict:
+    """Differentiable retrieval against a sharded window context.
+
+    Same contract as train/retrieval.retrieve: adds rag_emb_h{1,2}
+    [B, K, L, D] with gradient through query embedding and re-embedding;
+    the search itself is stop-grad and runs per shard with an exact ICI
+    candidate merge.
+    """
+
+    def embed(tokens, af):
+        return embed_fn(params, tokens, af, deterministic, rngs)
+
+    af = batch["af"]
+    q1 = embed(batch["hap_1"], af)   # [B, L, D] with grad
+    q2 = embed(batch["hap_2"], af)
+    b, l, d_model = q1.shape
+
+    search = jax.shard_map(
+        partial(_sharded_search_body, k=k, axis=axis, use_pallas=False),
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    def ids_of(q_emb):
+        qf = jax.lax.stop_gradient(q_emb).astype(ctx.ref_emb_flat.dtype)
+        qf = qf.reshape(b, -1)
+        _, ids = search(qf, ctx.ref_emb_flat, ctx.ref_norms)
+        return ids
+
+    i1 = ids_of(q1)
+    i2 = ids_of(q2)
+
+    all_ids = jnp.concatenate([i1.reshape(-1), i2.reshape(-1)])
+    ret_tokens = ctx.ref_tokens[all_ids]
+    ret_af = jnp.broadcast_to(ctx.ref_af[None, :], ret_tokens.shape)
+    ret_emb = embed(ret_tokens, ret_af)    # gradient flows here
+    rag1, rag2 = jnp.split(ret_emb, 2, axis=0)
+    out = dict(batch)
+    out["rag_emb_h1"] = rag1.reshape(b, k, l, d_model)
+    out["rag_emb_h2"] = rag2.reshape(b, k, l, d_model)
+    return out

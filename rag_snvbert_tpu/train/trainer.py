@@ -67,13 +67,14 @@ class TrainerConfig:
     # slightly weaker statistical guarantees — fine for dropout masks.
     rng_impl: str = "rbg"
     # Dispatch the next window's retrieval-context encode while the current
-    # window is still training (async overlap hides the refresh entirely).
-    # The prefetched index is encoded with params up to one window of steps
-    # older — the same staleness class as the reference's cache, which
-    # builds at window entry and serves a whole window of updates
-    # (embedding_rag_dataset.py:334-377).  Set False for strict
-    # entry-time-params semantics.
-    prefetch_ctx: bool = True
+    # window is still training (async overlap hides the refresh).  Costs a
+    # second resident context — 1.6 GB at flagship scale, where the hidden
+    # refresh is only ~0.3% of a window's step time and the extra context
+    # can tip 16 GB HBM over the edge — so the default is off; enable for
+    # small panels or short windows where the refresh fraction is large.
+    # Staleness when on: params up to one window older, the same class as
+    # the reference's entry-time cache (embedding_rag_dataset.py:334-377).
+    prefetch_ctx: bool = False
 
 
 @dataclasses.dataclass
@@ -188,8 +189,13 @@ class Trainer:
         level = self.level if train else self.cfg.val_level
         seed = epoch if train else self.cfg.val_seed
         bs = self.cfg.batch_size if train else self.cfg.val_batch_size
-        counters = jax.device_get(metrics_lib.zeros_like_counters())
-        totals = {"loss": 0.0, "hap_loss": 0.0, "gt_loss": 0.0}
+        # Counters/totals stay ON DEVICE across the epoch (tiny adds in
+        # the async stream); each np fetch costs a host round trip — at 42
+        # steps/window x ~16 counter leaves that was ~0.5 s/step on a
+        # remote-attached chip.
+        counters = metrics_lib.zeros_like_counters()
+        totals = {"loss": jnp.zeros(()), "hap_loss": jnp.zeros(()),
+                  "gt_loss": jnp.zeros(())}
         n_batches = 0
         t0 = time.time()
         current_wid = -1
@@ -229,18 +235,21 @@ class Trainer:
             else:
                 stats = eval_step(self.state, batch, ctx, self.embed_fn,
                                   self.step_cfg)
-            counters = jax.tree.map(
-                lambda a, b: a + np.asarray(b), counters, stats["counters"])
+            counters = jax.tree.map(lambda a, b: a + b, counters,
+                                    stats["counters"])
             for k in totals:
                 if k in stats:
-                    totals[k] += float(stats[k])
+                    totals[k] = totals[k] + stats[k]
             n_batches += 1
             if train and n_batches % self.cfg.log_freq == 0:
                 self._log({"event": "step", "epoch": epoch,
                            "batch": n_batches,
                            "loss": float(stats["loss"])})
+        counters = jax.device_get(counters)   # one sync per epoch
+        totals = jax.device_get(totals)
         summary = metrics_lib.summarize(counters)
-        summary.update({k: v / max(n_batches, 1) for k, v in totals.items()})
+        summary.update({k: float(v) / max(n_batches, 1)
+                        for k, v in totals.items()})
         summary["epoch_seconds"] = time.time() - t0
         summary["n_batches"] = n_batches
         return summary
