@@ -141,21 +141,20 @@ class WindowDataset:
         pos_n = sequence_padding(position_normalize(meta.positions), L)
         af_g = sequence_padding(self.window_af(meta), L)
 
-        # Per-population rows once, then per-sample gather.
-        pops = np.unique(self.pop_class[sample_ids])
-        feat_rows = {p: self.freq.window_features(meta.positions, int(p))
-                     for p in pops}
+        # Per-population feature rows once, then one vectorized per-sample
+        # gather (no python loop over the batch — it sat on the critical
+        # path between device steps).
         b = len(sample_ids)
-        af_p = np.zeros((b, L), np.float32)
-        ref = np.zeros((b, L), np.float32)
-        het = np.zeros((b, L), np.float32)
-        hom = np.zeros((b, L), np.float32)
-        for i, s in enumerate(sample_ids):
-            fr = feat_rows[int(self.pop_class[s])]
-            af_p[i] = sequence_padding(fr["af_p"], L)
-            ref[i] = sequence_padding(fr["ref"], L)
-            het[i] = sequence_padding(fr["het"], L)
-            hom[i] = sequence_padding(fr["hom"], L)
+        batch_pops = self.pop_class[sample_ids]
+        pops = np.unique(batch_pops)
+        names = ("af_p", "ref", "het", "hom")
+        rows = {nm: np.zeros((len(pops), L), np.float32) for nm in names}
+        for r_i, p in enumerate(pops):
+            fr = self.freq.window_features(meta.positions, int(p))
+            for nm in names:
+                rows[nm][r_i] = sequence_padding(fr[nm], L)
+        sel = np.searchsorted(pops, batch_pops)          # [B] row per sample
+        af_p, ref, het, hom = (rows[nm][sel] for nm in names)
 
         batch = {
             "hap_1": toks1.astype(np.int32),

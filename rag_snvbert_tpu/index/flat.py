@@ -73,10 +73,13 @@ class FlatL2Index:
 
     # Above this distance-matrix size the streaming Pallas kernel (which
     # never materializes [B, N]) takes over from the XLA matmul + top_k
-    # path.  Measured on v5e at N=664k, d=2040, k=10, batch 1024: XLA
-    # exact = 41 ms/batch (34% MXU), streaming kernel = 118 ms (12%, the
-    # k-pass merge is VPU-bound), approx_max_k = 17 ms (84%, recall 0.95).
-    _PALLAS_BYTES = 6 << 30
+    # path.  Round-2 threshold-gated merge measured on v5e at N=664k,
+    # d=2040, k=10, batch 1024: kernel = 35.5 ms/batch (28.8k QPS) vs XLA
+    # exact = 41.6 ms (24.6k QPS) vs approx_max_k = 17 ms (recall 0.95) —
+    # the kernel now wins whenever the workload is big enough to be
+    # matmul-bound, so the XLA path is kept only for small searches where
+    # its compile latency and tiny-shape overheads win.
+    _PALLAS_BYTES = 1 << 28
 
     def search(self, queries: jax.Array, k: int,
                use_pallas: bool | None = None, approx: bool = False,
@@ -131,8 +134,10 @@ class FlatL2Index:
                                preferred_element_type=jnp.float32)
         # Preserve tombstones: +inf rows stay +inf under the mask.
         masked_norms = jnp.where(jnp.isinf(self.norms), jnp.inf, masked_norms)
-        if use_pallas is None:
-            use_pallas = _on_tpu(self.vectors)
+        if use_pallas is None:  # same size routing as search()
+            b = qm.shape[0]
+            use_pallas = (_on_tpu(self.vectors)
+                          and 4 * b * self.ntotal > self._PALLAS_BYTES)
         if use_pallas:
             return l2_topk_pallas(qm, self.vectors, masked_norms, k)
         d = l2_ref.l2_distances(qm, self.vectors, r_norms=masked_norms)

@@ -36,26 +36,55 @@ def _local_topk(queries, vectors, norms, k, use_pallas):
     return l2_ref.topk_smallest(d, k)
 
 
+def _merge_candidates(cat_vals, cat_gids, k):
+    """Exact top-k over concatenated candidates with the same ascending-id
+    tie-break as the local kernels: sort by (value, id) via a stable
+    two-key argsort."""
+    order = jnp.argsort(cat_gids, axis=1, stable=True)
+    v1 = jnp.take_along_axis(cat_vals, order, axis=1)
+    g1 = jnp.take_along_axis(cat_gids, order, axis=1)
+    neg_vals, pos = jax.lax.top_k(-v1, k)
+    return -neg_vals, jnp.take_along_axis(g1, pos, axis=1)
+
+
+def _ring_merge(vals, gids, k: int, axis: str):
+    """ppermute ring merge: S-1 neighbour exchanges of the [B, k] running
+    candidate set instead of one [B, S*k] all_gather.  Same exact result;
+    peak per-device candidate memory stays [B, 2k] regardless of shard
+    count (the all_gather variant grows linearly in S)."""
+    s = jax.lax.axis_size(axis)
+    perm = [(i, (i + 1) % s) for i in range(s)]
+
+    def step(carry, _):
+        best_v, best_g, cur_v, cur_g = carry
+        cur_v = jax.lax.ppermute(cur_v, axis, perm)
+        cur_g = jax.lax.ppermute(cur_g, axis, perm)
+        bv, bg = _merge_candidates(
+            jnp.concatenate([best_v, cur_v], axis=1),
+            jnp.concatenate([best_g, cur_g], axis=1), k)
+        return (bv, bg, cur_v, cur_g), None
+
+    (bv, bg, _, _), _ = jax.lax.scan(
+        step, (vals, gids, vals, gids), None, length=s - 1)
+    return bv, bg
+
+
 def _sharded_search_body(queries, vectors, norms, *, k: int, axis: str,
-                         use_pallas: bool):
+                         use_pallas: bool, merge: str = "all_gather"):
     """shard_map body: runs per device with shard-local vectors/norms."""
     rows_per_shard = vectors.shape[0]
     my_shard = jax.lax.axis_index(axis)
     vals, ids = _local_topk(queries, vectors, norms, k, use_pallas)
     gids = ids + my_shard * rows_per_shard
+    if merge == "ring":
+        return _ring_merge(vals, gids, k, axis)
     # Tiny [B, k] candidates: gather every shard's over ICI, merge exactly.
     all_vals = jax.lax.all_gather(vals, axis)   # [S, B, k]
     all_gids = jax.lax.all_gather(gids, axis)
     b = queries.shape[0]
     cat_vals = jnp.moveaxis(all_vals, 0, 1).reshape(b, -1)  # [B, S*k]
     cat_gids = jnp.moveaxis(all_gids, 0, 1).reshape(b, -1)
-    # Final top-k with the same ascending-id tie-break as the local kernels:
-    # sort by (value, id) via a stable two-key argsort.
-    order = jnp.argsort(cat_gids, axis=1, stable=True)
-    v1 = jnp.take_along_axis(cat_vals, order, axis=1)
-    g1 = jnp.take_along_axis(cat_gids, order, axis=1)
-    neg_vals, pos = jax.lax.top_k(-v1, k)
-    return -neg_vals, jnp.take_along_axis(g1, pos, axis=1)
+    return _merge_candidates(cat_vals, cat_gids, k)
 
 
 class ShardedFlatL2Index:
@@ -92,19 +121,24 @@ class ShardedFlatL2Index:
         nsh = jax.device_put(npad, NamedSharding(mesh, P(axis)))
         return cls(mesh, vsh, nsh, ntotal=n, axis=axis)
 
-    def search(self, queries, k: int, use_pallas: bool | None = None
-               ) -> tuple[jax.Array, jax.Array]:
+    def search(self, queries, k: int, use_pallas: bool | None = None,
+               merge: str = "all_gather") -> tuple[jax.Array, jax.Array]:
+        """``merge``: "all_gather" (one collective, [B, S*k] concatenated
+        candidates) or "ring" (S-1 ppermute steps, [B, 2k] peak)."""
         if use_pallas is None:
-            # Same routing rule as FlatL2Index: streaming kernel only when
-            # the per-shard [B, N_local] distance matrix is too large.
+            # Same routing rule as FlatL2Index.search, on the per-shard
+            # [B, N_local] workload.
+            from .flat import FlatL2Index
+
             on_tpu = all(dev.platform == "tpu"
                          for dev in self.mesh.devices.flat)
             local_rows = self.vectors.shape[0] // self.mesh.shape[self.axis]
             b = np.asarray(queries).shape[0]
-            use_pallas = on_tpu and 4 * b * local_rows > (6 << 30)
+            use_pallas = (on_tpu
+                          and 4 * b * local_rows > FlatL2Index._PALLAS_BYTES)
         q = jnp.asarray(queries, dtype=self.vectors.dtype)
         body = partial(_sharded_search_body, k=k, axis=self.axis,
-                       use_pallas=use_pallas)
+                       use_pallas=use_pallas, merge=merge)
         fn = jax.shard_map(
             body, mesh=self.mesh,
             in_specs=(P(), P(self.axis), P(self.axis)),

@@ -13,17 +13,32 @@ Design (SURVEY.md section 7):
     the embedding-space index where d = L*D ~ 4e5 floats;
   - reference rows are tiled (grid axis ``j``) and a running top-k per query
     tile is maintained in VMEM across tiles (streaming k-best) — the full
-    [B, N] distance matrix never exists in memory;
-  - ties broken by ascending reference id, matching the stable order of
-    ``jax.lax.top_k`` on negated distances (the oracle in ops/l2_ref.py).
+    [B, N] distance matrix never exists in memory.
 
-Performance note (measured, v5e, N=664k, d=2040, k=10, batch 1024): the
-kernel runs at ~12-13% MXU regardless of tile shape — the cost is the
-k-pass extraction merge (k passes over every distance on the VPU), not the
-matmul or grid overhead.  FlatL2Index.search therefore routes to the XLA
-matmul + top_k path (34% MXU) whenever [B, N] is affordable and reserves
-this kernel for the memory-constrained regime; a selection-network merge
-is the known follow-up.
+Merge design (round 2, replacing the k-pass extraction that capped the
+kernel at ~12% MXU):
+  - distances are packed into *sortable int32 keys*: the f32 distance bits
+    (monotonic under int32 comparison for non-negative floats) with the low
+    9 mantissa bits replaced by the lane id.  Keys are unique per row, so a
+    single ``where(keys == min)`` knockout is exact, and the min itself
+    encodes both the (quantized) distance and the within-tile id;
+  - the running top-k buffer stores keys with the id bits cleared (pure
+    quantized distance) plus a parallel global-id plane, kept sorted
+    ascending.  Its k-th entry is the selection threshold tau;
+  - per ref tile the common path is: form distances, compare against tau,
+    and only if some row has a candidate enter a while-loop that extracts
+    the row-min key, knocks it out, and shift-inserts it into the sorted
+    buffer.  After warm-up the expected number of new top-k candidates per
+    tile is ~k/j (j = tile index), so the loop runs 0-2 iterations instead
+    of k fixed extraction passes over every distance;
+  - ordering is by distance *quantized to 512 ULP* (relative error
+    <= 2^-14 ~ 6e-5), ties broken by ascending reference id (lane bits
+    within a tile, first-tile-wins across tiles).  For integer-valued
+    vectors (genotype / token indexes, distances < 16384) the quantization
+    is lossless and the result is bit-exact; for float embeddings the
+    2^-14 reordering window is below the norm-expansion's own cancellation
+    noise (the same expansion FAISS uses).  Returned distances are the
+    quantized values.
 
 Padding contract (handled by the wrapper):
   - queries padded to a multiple of the query tile with zeros;
@@ -42,8 +57,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_K_LANES = 128  # top-k scratch lane width (k <= 128 supported)
-_ID_SENTINEL = 2**30  # plain int: a module-level jnp scalar would be a captured constant
+_K_LANES = 128   # top-k buffer lane width (k <= 128 supported)
+_ID_BITS = 9     # low mantissa bits of each key carry the within-tile lane id
+_ID_MASK = (1 << _ID_BITS) - 1          # 0x1FF
+_KEY_MASK = ~_ID_MASK                   # clears the id bits -> quantized dist
+_MAX_KEY = 2**31 - 1  # plain int: a jnp scalar would be a captured constant
+_INF_KEY = 0x7F800000 & _KEY_MASK       # +inf distance, id bits cleared
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -55,7 +74,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
-                    acc, qn, top_vals, top_ids, *, k: int, tn: int):
+                    acc, qn, top_keys, top_ids, *, k: int, tn: int,
+                    in_dtype):
     j = pl.program_id(1)
     kd = pl.program_id(2)
     nn = pl.num_programs(1)
@@ -67,89 +87,117 @@ def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
 
     @pl.when(jnp.logical_and(j == 0, kd == 0))
     def _():
-        top_vals[:] = jnp.full_like(top_vals, jnp.inf)
+        top_keys[:] = jnp.full_like(top_keys, _INF_KEY)
         top_ids[:] = jnp.zeros_like(top_ids)
         qn[:] = jnp.zeros_like(qn)
-
-    q = q_ref[:].astype(jnp.float32)  # [TQ, TD]
 
     # Query norms accumulate over d-tiles during the first ref tile only;
     # the scratch is reused for every later ref tile of the same query tile.
     @pl.when(j == 0)
     def _():
-        qn[:] += jnp.sum(q * q, axis=1, keepdims=True)
+        qf = q_ref[:].astype(jnp.float32)
+        qn[:] += jnp.sum(qf * qf, axis=1, keepdims=True)
 
-    # MXU: partial dot products q @ r^T over this d tile.  HIGHEST
-    # precision keeps f32 inputs exact (multi-pass); bf16 inputs are
-    # single-pass either way, so the hot genotype/embedding paths pay
-    # nothing and float32 vectors keep FAISS-grade exactness.
+    # MXU: partial dot products q @ r^T over this d tile, in the input
+    # dtype (bf16 inputs run single-pass; f32 inputs use HIGHEST for
+    # FAISS-grade exactness), accumulating in f32.
+    precision = (jax.lax.Precision.HIGHEST
+                 if in_dtype == jnp.float32 else None)
     acc[:] += jax.lax.dot_general(
-        q, r_ref[:].astype(jnp.float32),
+        q_ref[:], r_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
 
-    # After the last d tile: form this ref tile's distances and merge them
-    # into the running top-k.
+    # After the last d tile: form this ref tile's distances and merge any
+    # new top-k candidates into the running buffer.
     @pl.when(kd == nd - 1)
     def _():
+        tq = acc.shape[0]
         dist = jnp.maximum(qn[:] - 2.0 * acc[:] + rn_ref[:], 0.0)
-        tq = dist.shape[0]
-        ids_tile = j * tn + jax.lax.broadcasted_iota(jnp.int32, (tq, tn), 1)
 
-        vals = jnp.concatenate([top_vals[:], dist], axis=1)        # [TQ, 128+TN]
-        ids = jnp.concatenate([top_ids[:], ids_tile], axis=1)
+        # Packed sortable keys: non-negative f32 bits are monotonic under
+        # int32 comparison; the low 9 mantissa bits become the lane id so
+        # keys are unique per row and the min encodes (dist, id).
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (tq, tn), 1)
+        keys = (pltpu.bitcast(dist, jnp.int32) & _KEY_MASK) | lanes
 
-        # k-step selection merge: extract the minimum k times, breaking
-        # ties by the smallest reference id.  k is static and small, so the
-        # loop unrolls onto the VPU.
-        sel_vals = []
-        sel_ids = []
-        for _t in range(k):
-            m = jnp.min(vals, axis=1, keepdims=True)               # [TQ, 1]
-            cand = jnp.where(vals == m, ids, _ID_SENTINEL)
-            sid = jnp.min(cand, axis=1, keepdims=True)             # [TQ, 1]
-            sel_vals.append(m)
-            sel_ids.append(sid)
-            vals = jnp.where(ids == sid, jnp.inf, vals)
+        tau = top_keys[:, k - 1 : k]                      # [TQ, 1]
+        m0 = jnp.min(keys, axis=1, keepdims=True)         # [TQ, 1]
 
-        pad = _K_LANES - k
-        new_vals = jnp.concatenate(
-            sel_vals + [jnp.full((tq, pad), jnp.inf, jnp.float32)], axis=1)
-        new_ids = jnp.concatenate(
-            sel_ids + [jnp.zeros((tq, pad), jnp.int32)], axis=1)
-        top_vals[:] = new_vals
-        top_ids[:] = new_ids
+        li = jax.lax.broadcasted_iota(jnp.int32, (tq, _K_LANES), 1)
+
+        def cond(carry):
+            _, m, tau_c = carry
+            # Strict <: buffer keys have zero id bits, so an equal
+            # quantized distance keeps the incumbent (earlier tile =
+            # smaller global id), preserving the ascending-id tie-break.
+            return jnp.any((m & _KEY_MASK) < tau_c)
+
+        def body(carry):
+            keys_c, m, _ = carry
+            qkey = m & _KEY_MASK                          # [TQ, 1]
+            gid = j * tn + (m & _ID_MASK)                 # [TQ, 1]
+            # Shift-insert into the sorted buffer.  Rows whose min is not
+            # a real candidate (qkey >= tau) land at pos >= k and only
+            # disturb the non-load-bearing tail lanes.
+            pos = jnp.sum((top_keys[:] <= qkey).astype(jnp.int32),
+                          axis=1, keepdims=True)          # [TQ, 1]
+            sk = pltpu.roll(top_keys[:], 1, axis=1)
+            si = pltpu.roll(top_ids[:], 1, axis=1)
+            top_keys[:] = jnp.where(
+                li < pos, top_keys[:], jnp.where(li == pos, qkey, sk))
+            top_ids[:] = jnp.where(
+                li < pos, top_ids[:], jnp.where(li == pos, gid, si))
+            # Knock the extracted element out (keys unique per row).
+            keys_n = jnp.where(keys_c == m, _MAX_KEY, keys_c)
+            m_n = jnp.min(keys_n, axis=1, keepdims=True)
+            return keys_n, m_n, top_keys[:, k - 1 : k]
+
+        # Cheap gate: skip the loop machinery entirely when no row in this
+        # tile improves on the current top-k (the common case after the
+        # first few tiles).
+        @pl.when(jnp.any((m0 & _KEY_MASK) < tau))
+        def _():
+            jax.lax.while_loop(cond, body, (keys, m0, tau))
 
         @pl.when(j == nn - 1)
         def _():
-            vals_ref[:] = top_vals[:]
+            vals_ref[:] = pltpu.bitcast(top_keys[:], jnp.float32)
             ids_ref[:] = top_ids[:]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "tn", "td", "interpret"))
 def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
-                   k: int, tq: int = 256, tn: int = 512, td: int = 512,
+                   k: int, tq: int = 256, tn: int = 512, td: int | None = None,
                    interpret: bool = False) -> tuple[jax.Array, jax.Array]:
     """Exact k-NN by squared L2 with the fused Pallas kernel.
 
     Args:
-      queries: ``[B, d]`` float array.
+      queries: ``[B, d]`` float array (cast to refs' dtype).
       refs: ``[N, d]`` float array (same d).
       r_norms: ``[N]`` f32 squared norms of refs (precomputed; pass +inf for
         rows that must never be retrieved, e.g. padding).
       k: number of neighbours (1 <= k <= 128).
 
     Returns:
-      (dists ``[B, k]`` f32 squared distances, ids ``[B, k]`` int32), sorted
+      (dists ``[B, k]`` f32 squared distances quantized to 512 ULP
+      (bit-exact for integer-valued vectors), ids ``[B, k]`` int32), sorted
       ascending, ties broken by ascending id.
     """
     assert 1 <= k <= _K_LANES, f"k={k} out of range (max {_K_LANES})"
     b, d = queries.shape
     n, d2 = refs.shape
     assert d == d2 and r_norms.shape == (n,)
+    assert tn <= (1 << _ID_BITS), f"tn={tn} exceeds id-bit capacity"
 
+    queries = queries.astype(refs.dtype)
+    if td is None:
+        # Wider d tiles amortize the per-tile merge check (measured on v5e
+        # at N=664k, d=2040: td 512 -> 2048 is 23.9k -> 28.4k QPS); f32
+        # tiles are twice the bytes, so cap them lower for VMEM.
+        td = 2048 if refs.dtype.itemsize <= 2 else 1024
     tq = min(tq, _round_up(max(b, 8), 8))
     tn = min(tn, _round_up(max(n, 128), 128))
     td = min(td, _round_up(max(d, 128), 128))
@@ -164,7 +212,7 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
     grid = (bp // tq, np_ // tn, dp // td)
 
     vals, ids = pl.pallas_call(
-        functools.partial(_l2_topk_kernel, k=k, tn=tn),
+        functools.partial(_l2_topk_kernel, k=k, tn=tn, in_dtype=refs.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tq, td), lambda i, j, kd: (i, kd),
@@ -185,9 +233,9 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
             jax.ShapeDtypeStruct((bp, _K_LANES), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tq, tn), jnp.float32),       # dot-product accumulator
-            pltpu.VMEM((tq, 1), jnp.float32),        # query norms
-            pltpu.VMEM((tq, _K_LANES), jnp.float32),  # running top-k values
+            pltpu.VMEM((tq, tn), jnp.float32),        # dot-product accumulator
+            pltpu.VMEM((tq, 1), jnp.float32),         # query norms
+            pltpu.VMEM((tq, _K_LANES), jnp.int32),    # running top-k keys
             pltpu.VMEM((tq, _K_LANES), jnp.int32),    # running top-k ids
         ],
         compiler_params=pltpu.CompilerParams(

@@ -10,19 +10,23 @@ whose masked-embedding matrix [N, L*D] exceeds one chip's HBM:
     reference rows under shard_map, so the refresh generates no cross-chip
     traffic at all (SURVEY.md section 5: "each shard re-encodes its own
     rows — no traffic — then barrier");
-  - search runs per shard (workload-routed, as index/sharded.py) and the
-    tiny [B, k] candidate sets merge exactly over ICI via all_gather;
+  - search runs per shard and the tiny [B, k] candidate sets merge exactly
+    over ICI — via one ``all_gather`` (default) or a ``ppermute`` ring
+    (lower peak memory at high shard counts, see index/sharded.py);
   - the retrieved COMPLETE tokens stay replicated (ints, [N, L] — a few
     hundred MB at worst), so the gradient-bearing re-embedding gather is
-    local.
+    local;
+  - batches may simultaneously be sharded over the ``data`` axis: each
+    data-parallel group searches its local queries against every index
+    shard (the candidate merge runs within the index axis only), so DP x
+    index-sharded training is a single jitted program (train/step.py
+    dispatches here whenever the ctx is a ShardedWindowRefContext).
 """
 
 from __future__ import annotations
 
-from functools import partial
+import functools
 from typing import Any, Callable
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +34,7 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.sharded import _sharded_search_body
-from ..parallel.mesh import INDEX_AXIS
+from ..parallel.mesh import DATA_AXIS, INDEX_AXIS
 from .retrieval import apply_token_mask
 
 
@@ -42,6 +46,28 @@ class ShardedWindowRefContext:
     ref_norms: jax.Array      # [N_pad] sharded (+inf on padding rows)
     ref_tokens: jax.Array     # [N_pad, L] replicated complete tokens
     ref_af: jax.Array         # [L] replicated
+
+
+@functools.lru_cache(maxsize=None)
+def _encode_jit(embed_fn: Callable, mesh: Mesh, axis: str, dtype):
+    """Cached jitted shard-local encoder (params as argument, never a
+    closure: closed-over device arrays lower as captured HLO constants)."""
+
+    def local_encode(params, toks_local, valid_local, af, wmask):
+        masked = apply_token_mask(toks_local, wmask)
+        af_exp = jnp.broadcast_to(af[None, :], masked.shape)
+        emb = embed_fn(params, masked, af_exp, True)
+        emb = jax.lax.stop_gradient(emb).astype(dtype)
+        flat = emb.reshape(emb.shape[0], -1)
+        norms = jnp.sum(flat.astype(jnp.float32) ** 2, axis=-1)
+        norms = jnp.where(valid_local, norms, jnp.inf)
+        return flat, norms
+
+    fn = jax.shard_map(local_encode, mesh=mesh,
+                       in_specs=(P(), P(axis), P(axis), P(), P()),
+                       out_specs=(P(axis), P(axis)),
+                       check_vma=False)
+    return jax.jit(fn)
 
 
 def encode_window_refs_sharded(embed_fn: Callable, params: Any,
@@ -70,21 +96,8 @@ def encode_window_refs_sharded(embed_fn: Callable, params: Any,
     mask_rep = jax.device_put(jnp.asarray(window_mask),
                               NamedSharding(mesh, P()))
 
-    def local_encode(toks_local, valid_local, af, wmask):
-        masked = apply_token_mask(toks_local, wmask)
-        af_exp = jnp.broadcast_to(af[None, :], masked.shape)
-        emb = embed_fn(params, masked, af_exp, True)
-        emb = jax.lax.stop_gradient(emb).astype(dtype)
-        flat = emb.reshape(emb.shape[0], -1)
-        norms = jnp.sum(flat.astype(jnp.float32) ** 2, axis=-1)
-        norms = jnp.where(valid_local, norms, jnp.inf)
-        return flat, norms
-
-    fn = jax.shard_map(local_encode, mesh=mesh,
-                       in_specs=(P(axis), P(axis), P(), P()),
-                       out_specs=(P(axis), P(axis)),
-                       check_vma=False)
-    flat, norms = jax.jit(fn)(toks_sh, valid_sh, af_rep, mask_rep)
+    flat, norms = _encode_jit(embed_fn, mesh, axis, dtype)(
+        params, toks_sh, valid_sh, af_rep, mask_rep)
     toks_rep = jax.device_put(toks, NamedSharding(mesh, P()))
     return ShardedWindowRefContext(ref_emb_flat=flat, ref_norms=norms,
                                    ref_tokens=toks_rep, ref_af=af_rep)
@@ -93,6 +106,8 @@ def encode_window_refs_sharded(embed_fn: Callable, params: Any,
 def retrieve_sharded(embed_fn: Callable, params: Any, batch: dict,
                      ctx: ShardedWindowRefContext, mesh: Mesh, k: int = 1,
                      axis: str = INDEX_AXIS,
+                     data_axis: str | None = DATA_AXIS,
+                     merge: str = "all_gather",
                      deterministic: bool = True,
                      rngs: dict | None = None) -> dict:
     """Differentiable retrieval against a sharded window context.
@@ -100,7 +115,11 @@ def retrieve_sharded(embed_fn: Callable, params: Any, batch: dict,
     Same contract as train/retrieval.retrieve: adds rag_emb_h{1,2}
     [B, K, L, D] with gradient through query embedding and re-embedding;
     the search itself is stop-grad and runs per shard with an exact ICI
-    candidate merge.
+    candidate merge.  Jit-safe: call from inside the train step — the
+    shard_map composes with the surrounding pjit program.
+
+    ``data_axis``: mesh axis the batch is sharded over (None = replicated
+    queries).  ``merge``: "all_gather" | "ring" (index/sharded.py).
     """
 
     def embed(tokens, af):
@@ -111,11 +130,13 @@ def retrieve_sharded(embed_fn: Callable, params: Any, batch: dict,
     q2 = embed(batch["hap_2"], af)
     b, l, d_model = q1.shape
 
+    qspec = P(data_axis) if data_axis and data_axis in mesh.shape else P()
     search = jax.shard_map(
-        partial(_sharded_search_body, k=k, axis=axis, use_pallas=False),
+        functools.partial(_sharded_search_body, k=k, axis=axis,
+                          use_pallas=False, merge=merge),
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis)),
-        out_specs=(P(), P()),
+        in_specs=(qspec, P(axis), P(axis)),
+        out_specs=(qspec, qspec),
         check_vma=False)
 
     def ids_of(q_emb):

@@ -22,6 +22,7 @@ from flax.training import train_state
 from . import losses, metrics
 from .retrieval import (TokenWindowContext, WindowRefContext, retrieve,
                         retrieve_tokens)
+from .sharded_retrieval import ShardedWindowRefContext, retrieve_sharded
 
 
 class TrainState(train_state.TrainState):
@@ -38,6 +39,7 @@ class StepConfig:
     rag_k: int = 1
     rare_threshold: float = 0.05
     use_pallas: bool | None = None
+    ctx_merge: str = "all_gather"   # sharded-ctx candidate merge collective
 
 
 def _labels(batch: dict) -> dict:
@@ -47,12 +49,19 @@ def _labels(batch: dict) -> dict:
 
 def _forward(apply_fn: Callable, embed_fn: Callable, params: Any,
              batch: dict, ctx: WindowRefContext | None, cfg: StepConfig,
-             deterministic: bool, dropout_rng) -> tuple[jax.Array, tuple]:
+             deterministic: bool, dropout_rng, mesh=None
+             ) -> tuple[jax.Array, tuple]:
     rngs = None if deterministic else {"dropout": dropout_rng}
     if isinstance(ctx, TokenWindowContext):
         # V17 token-space mode: retrieval returns raw token segments; the
         # model (BERTWithRAG) re-encodes them through the transformer.
         batch = retrieve_tokens(batch, ctx, cfg.rag_k, cfg.use_pallas)
+    elif isinstance(ctx, ShardedWindowRefContext):
+        # Index-sharded context: per-shard search + ICI candidate merge
+        # (shard_map composed into this jitted step).
+        batch = retrieve_sharded(embed_fn, params, batch, ctx, mesh,
+                                 cfg.rag_k, merge=cfg.ctx_merge,
+                                 deterministic=deterministic, rngs=rngs)
     elif ctx is not None:
         batch = retrieve(embed_fn, params, batch, ctx, cfg.rag_k,
                          cfg.use_pallas, deterministic, rngs)
@@ -67,14 +76,15 @@ def _forward(apply_fn: Callable, embed_fn: Callable, params: Any,
     return loss, (aux, counters)
 
 
-@partial(jax.jit, static_argnames=("embed_fn", "cfg"),
+@partial(jax.jit, static_argnames=("embed_fn", "cfg", "mesh"),
          donate_argnames=("state",))
 def train_step(state: TrainState, batch: dict,
                ctx: WindowRefContext | None, rng: jax.Array,
-               embed_fn: Callable, cfg: StepConfig
+               embed_fn: Callable, cfg: StepConfig, mesh=None
                ) -> tuple[TrainState, dict]:
     """One optimizer step.  ``ctx`` is the current window's retrieval
-    context (None disables RAG — the plain-BERT path).
+    context (None disables RAG — the plain-BERT path).  ``mesh`` (static)
+    is required only for a ShardedWindowRefContext.
 
     The input state is donated: its buffers are reused for the output
     state, so params + optimizer memory is constant across steps even with
@@ -83,7 +93,8 @@ def train_step(state: TrainState, batch: dict,
 
     def loss_fn(params):
         return _forward(state.apply_fn, embed_fn, params, batch, ctx, cfg,
-                        deterministic=False, dropout_rng=dropout_rng)
+                        deterministic=False, dropout_rng=dropout_rng,
+                        mesh=mesh)
 
     (loss, (aux, counters)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params)
@@ -93,13 +104,13 @@ def train_step(state: TrainState, batch: dict,
     return new_state, stats
 
 
-@partial(jax.jit, static_argnames=("embed_fn", "cfg"))
+@partial(jax.jit, static_argnames=("embed_fn", "cfg", "mesh"))
 def eval_step(state: TrainState, batch: dict,
               ctx: WindowRefContext | None, embed_fn: Callable,
-              cfg: StepConfig) -> dict:
+              cfg: StepConfig, mesh=None) -> dict:
     loss, (aux, counters) = _forward(
         state.apply_fn, embed_fn, state.params, batch, ctx, cfg,
-        deterministic=True, dropout_rng=jax.random.key(0))
+        deterministic=True, dropout_rng=jax.random.key(0), mesh=mesh)
     return {"loss": loss, **aux, "counters": counters}
 
 

@@ -75,6 +75,20 @@ class TrainerConfig:
     # Staleness when on: params up to one window older, the same class as
     # the reference's entry-time cache (embedding_rag_dataset.py:334-377).
     prefetch_ctx: bool = False
+    # Shard the per-window retrieval context over the mesh's ``index`` axis
+    # (train/sharded_retrieval.py): each device encodes + searches only its
+    # own reference rows, with an exact ICI candidate merge.  Required when
+    # ref_pad_haps x L x D exceeds one chip's HBM; needs ``mesh``.  "auto"
+    # enables it whenever the mesh has an index axis of size > 1.
+    shard_ctx: bool | str = "auto"
+    # Candidate-merge collective for sharded retrieval:
+    # "all_gather" (one collective) | "ring" (ppermute, lower peak memory).
+    ctx_merge: str = "all_gather"
+    # Host-side batch prefetch depth (data/prefetch.py): numpy batch
+    # assembly runs on a daemon thread this many batches ahead of the
+    # device stream, overlapping make_batch with the previous step's
+    # compute.  0 disables (synchronous assembly).
+    prefetch_batches: int = 2
 
 
 @dataclasses.dataclass
@@ -130,7 +144,8 @@ class Trainer:
         self.stopper = EarlyStopping(cfg.patience, cfg.min_delta)
         self.step_cfg = StepConfig(
             focal_gamma=cfg.focal_gamma, use_recon=cfg.use_recon_loss,
-            rag_k=cfg.rag_k, rare_threshold=cfg.rare_threshold)
+            rag_k=cfg.rag_k, rare_threshold=cfg.rare_threshold,
+            ctx_merge=cfg.ctx_merge)
         os.makedirs(cfg.output_dir, exist_ok=True)
         self.csv_path = os.path.join(cfg.output_dir, "metrics.csv")
         self.log_path = os.path.join(cfg.output_dir, "events.jsonl")
@@ -151,6 +166,12 @@ class Trainer:
         # Resolve the search-kernel path from where the params actually live
         # (the axon TPU registers as default backend even when work is
         # pinned to CPU, so jax.default_backend() alone is unreliable).
+        self.shard_ctx = (cfg.shard_ctx if isinstance(cfg.shard_ctx, bool)
+                          else (mesh is not None
+                                and mesh.shape.get("index", 1) > 1))
+        if self.shard_ctx:
+            assert self.mesh is not None and "index" in self.mesh.shape, (
+                "shard_ctx requires a mesh with an 'index' axis")
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -178,6 +199,13 @@ class Trainer:
             return build_token_window_ctx(jnp.asarray(toks),
                                           jnp.asarray(wmask),
                                           valid=jnp.asarray(valid))
+        if self.shard_ctx:
+            from .sharded_retrieval import encode_window_refs_sharded
+
+            return encode_window_refs_sharded(
+                self.embed_fn, self.state.params, jnp.asarray(toks),
+                jnp.asarray(af), jnp.asarray(wmask), self.mesh,
+                valid=jnp.asarray(valid))
         return encode_window_refs(
             self.embed_fn, self.state.params, jnp.asarray(toks),
             jnp.asarray(af), jnp.asarray(wmask), valid=jnp.asarray(valid))
@@ -202,15 +230,21 @@ class Trainer:
         ctx = None
         prefetched: dict[int, object] = {}
         use_rag = ds.ref_vcf is not None and self.cfg.rag_mode != "none"
-        for meta, np_batch, next_meta in _with_lookahead(
-                ds.epoch_batches(bs, epoch, level, shuffle=train, seed=seed)):
+        batch_iter = ds.epoch_batches(bs, epoch, level, shuffle=train,
+                                      seed=seed)
+        if self.cfg.prefetch_batches > 0:
+            from ..data.prefetch import prefetch_iter
+
+            batch_iter = prefetch_iter(batch_iter,
+                                       size=self.cfg.prefetch_batches)
+        for meta, np_batch, next_meta in _with_lookahead(batch_iter):
             if use_rag and meta.window_idx != current_wid:
                 # Window switch -> rebuild the derived retrieval context
                 # (prefetched if the previous window already dispatched it).
                 ctx = prefetched.pop(meta.window_idx, None)
                 if ctx is None:
                     ctx = self._window_ctx(ds, meta, level, seed)
-                if self.mesh is not None:
+                if self.mesh is not None and not self.shard_ctx:
                     ctx = jax.device_put(ctx, self._repl)
                 current_wid = meta.window_idx
             if (use_rag and self.cfg.prefetch_ctx and next_meta is not None
@@ -228,13 +262,14 @@ class Trainer:
                          for k, v in np_batch.items()}
             else:
                 batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+            step_mesh = self.mesh if self.shard_ctx else None
             if train:
                 self.state, stats = train_step(self.state, batch, ctx,
                                                self.rng, self.embed_fn,
-                                               self.step_cfg)
+                                               self.step_cfg, mesh=step_mesh)
             else:
                 stats = eval_step(self.state, batch, ctx, self.embed_fn,
-                                  self.step_cfg)
+                                  self.step_cfg, mesh=step_mesh)
             counters = jax.tree.map(lambda a, b: a + b, counters,
                                     stats["counters"])
             for k in totals:

@@ -52,3 +52,29 @@ def test_mesh_trainer_matches_single_device(tmp_path):
     ps = jax.tree.leaves(t_single.state.params)[0]
     np.testing.assert_allclose(np.asarray(pm), np.asarray(ps),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_dp_index_sharded_trainer_matches_single_device(tmp_path):
+    """Combined DP x index-sharded training (VERDICT round-1 item 3): the
+    retrieval context sharded over 4 index shards + batch over 2 data
+    shards must reproduce single-device (replicated-context) training."""
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("need 8 cpu devices")
+    mesh = make_mesh(n_data=2, n_index=4, devices=devs[:8])
+
+    t_sh, _ = build(mesh, tmp_path / "sh")
+    assert t_sh.shard_ctx, "index axis > 1 must auto-enable shard_ctx"
+    t_single, _ = build(None, tmp_path / "single")
+
+    r_sh = t_sh.fit()
+    r_single = t_single.fit()
+
+    lm = r_sh["history"][0]["train_loss"]
+    ls = r_single["history"][0]["train_loss"]
+    assert abs(lm - ls) / max(abs(ls), 1.0) < 1e-3
+
+    pm = jax.tree.leaves(t_sh.state.params)[0]
+    ps = jax.tree.leaves(t_single.state.params)[0]
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(ps),
+                               rtol=2e-3, atol=2e-4)

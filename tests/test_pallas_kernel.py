@@ -1,13 +1,17 @@
-"""Fused Pallas kernel parity tests — run against real TPU hardware only
-(RAG_SNVBERT_TEST_TPU=1); interpret mode is impractically slow for this
-kernel and the XLA oracle path is covered by test_index_oracle."""
+"""Fused Pallas kernel tests.
+
+The interpret-mode tests run in the default (CPU) suite on small shapes so
+kernel regressions surface without hardware; the large-shape parity tests
+run against real TPU hardware only (RAG_SNVBERT_TEST_TPU=1) — interpret
+mode is impractically slow at chromosome scale.
+"""
 
 import os
 
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(
+tpu_only = pytest.mark.skipif(
     not os.environ.get("RAG_SNVBERT_TEST_TPU"),
     reason="set RAG_SNVBERT_TEST_TPU=1 to run Pallas kernel tests on TPU")
 
@@ -18,24 +22,84 @@ def _oracle(q, r, k):
     return np.take_along_axis(d, ids, axis=1), ids
 
 
-@pytest.mark.parametrize("b,n,d,k", [
-    (8, 256, 128, 4),        # single tile
-    (37, 1000, 300, 10),     # unaligned everything
-    (64, 2008, 2040, 10),    # genotype-index regime
-    (4, 300, 5000, 3),       # d-tiling regime
-])
-def test_kernel_matches_oracle(b, n, d, k):
+def _run(q, r, k, **kw):
     import jax.numpy as jnp
 
     from rag_snvbert_tpu.ops import l2_ref
     from rag_snvbert_tpu.ops.l2_topk_pallas import l2_topk_pallas
 
+    rn = np.asarray(l2_ref.squared_norms(jnp.asarray(r)))
+    return l2_topk_pallas(jnp.asarray(q), jnp.asarray(r), jnp.asarray(rn),
+                          k, **kw)
+
+
+# ---- interpret-mode smoke (default suite, no hardware needed) ----
+
+@pytest.mark.parametrize("b,n,d,k", [
+    (8, 384, 128, 3),     # multiple ref tiles
+    (5, 300, 96, 4),      # unaligned everything
+    (16, 700, 260, 10),   # d-tiling (td=128 < d)
+])
+def test_kernel_interpret_matches_oracle(b, n, d, k):
     rng = np.random.default_rng(0)
     q = rng.standard_normal((b, d)).astype(np.float32)
     r = rng.standard_normal((n, d)).astype(np.float32)
-    rn = np.asarray(l2_ref.squared_norms(jnp.asarray(r)))
+    vals, ids = _run(q, r, k, tq=8, tn=128, td=128, interpret=True)
+    ov, oi = _oracle(q, r, k)
+    np.testing.assert_allclose(np.asarray(vals), ov, rtol=1e-3, atol=1e-2)
+    assert (np.asarray(ids) == oi).all()
+
+
+def test_kernel_interpret_integer_vectors_exact():
+    """Integer-valued vectors (genotype/token indexes): quantized keys are
+    lossless, results must be bit-exact."""
+    rng = np.random.default_rng(1)
+    q = rng.integers(0, 2, (8, 200)).astype(np.float32)
+    r = rng.integers(0, 2, (500, 200)).astype(np.float32)
+    vals, ids = _run(q, r, 5, tq=8, tn=128, td=128, interpret=True)
+    ov, oi = _oracle(q, r, 5)
+    assert (np.asarray(vals) == ov).all()
+    assert (np.asarray(ids) == oi).all()
+
+
+def test_kernel_interpret_tie_break_ascending_ids():
+    rng = np.random.default_rng(2)
+    base = rng.integers(0, 2, (4, 256)).astype(np.float32)
+    r = np.vstack([base, base])  # exact duplicates
+    _, ids = _run(base, r, 2, tq=8, tn=128, td=128, interpret=True)
+    assert np.asarray(ids)[:, 0].tolist() == [0, 1, 2, 3]
+    assert np.asarray(ids)[:, 1].tolist() == [4, 5, 6, 7]
+
+
+def test_kernel_interpret_padding_rows_never_retrieved():
+    import jax.numpy as jnp
+
+    from rag_snvbert_tpu.ops.l2_topk_pallas import l2_topk_pallas
+
+    rng = np.random.default_rng(3)
+    r = rng.standard_normal((100, 64)).astype(np.float32)
+    q = r[:6]
+    rn = (r ** 2).sum(1).astype(np.float32)
+    rn[50:] = np.inf  # tombstoned rows
     vals, ids = l2_topk_pallas(jnp.asarray(q), jnp.asarray(r),
-                               jnp.asarray(rn), k)
+                               jnp.asarray(rn), 5, tq=8, tn=128, td=128,
+                               interpret=True)
+    assert (np.asarray(ids) < 50).all()
+
+
+# ---- TPU hardware parity (large shapes) ----
+
+@tpu_only
+@pytest.mark.parametrize("b,n,d,k", [
+    (37, 1000, 300, 10),     # unaligned everything
+    (64, 2008, 2040, 10),    # genotype-index regime
+    (4, 300, 5000, 3),       # d-tiling regime
+])
+def test_kernel_tpu_matches_oracle(b, n, d, k):
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    r = rng.standard_normal((n, d)).astype(np.float32)
+    vals, ids = _run(q, r, k)
     ov, oi = _oracle(q, r, k)
     np.testing.assert_allclose(np.asarray(vals), ov, rtol=1e-3, atol=1e-2)
     mism = np.asarray(ids) != oi
@@ -44,17 +108,11 @@ def test_kernel_matches_oracle(b, n, d, k):
                            rtol=1e-3, atol=1e-2)
 
 
-def test_kernel_tie_break_ascending_ids():
-    import jax.numpy as jnp
-
-    from rag_snvbert_tpu.ops import l2_ref
-    from rag_snvbert_tpu.ops.l2_topk_pallas import l2_topk_pallas
-
+@tpu_only
+def test_kernel_tpu_tie_break_ascending_ids():
     rng = np.random.default_rng(1)
     base = rng.integers(0, 2, (4, 256)).astype(np.float32)
-    r = np.vstack([base, base])  # exact duplicates
-    rn = np.asarray(l2_ref.squared_norms(jnp.asarray(r)))
-    _, ids = l2_topk_pallas(jnp.asarray(base), jnp.asarray(r),
-                            jnp.asarray(rn), 2)
+    r = np.vstack([base, base])
+    _, ids = _run(base, r, 2)
     assert np.asarray(ids)[:, 0].tolist() == [0, 1, 2, 3]
     assert np.asarray(ids)[:, 1].tolist() == [4, 5, 6, 7]

@@ -39,3 +39,16 @@ def test_sharded_uneven_rows(rng):
     assert (np.asarray(ids) < 131).all()
     ref_vals, ref_ids = numpy_l2_topk(q, r, 5)
     assert_topk_match(np.asarray(vals), np.asarray(ids), ref_vals, ref_ids)
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_ring_merge_matches_all_gather(rng, n_shards):
+    """ppermute ring merge: exact parity with the all_gather merge."""
+    mesh = cpu_mesh(n_shards)
+    r = rng.standard_normal((500, 48)).astype(np.float32)
+    q = rng.standard_normal((17, 48)).astype(np.float32)
+    idx = ShardedFlatL2Index.build(mesh, r)
+    v_ag, i_ag = idx.search(q, k=7, merge="all_gather")
+    v_rg, i_rg = idx.search(q, k=7, merge="ring")
+    np.testing.assert_array_equal(np.asarray(i_ag), np.asarray(i_rg))
+    np.testing.assert_allclose(np.asarray(v_ag), np.asarray(v_rg))

@@ -86,3 +86,32 @@ def test_sharded_retrieval_gradients_flow(setup):
     g = jax.grad(loss)(params)
     total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
     assert total > 0.0  # grads reach the embedding params via re-embedding
+
+
+def test_ring_merge_retrieval_matches(setup):
+    mesh, model, embed_fn, params, ref_tokens, ref_af, wmask, batch = setup
+    sctx = encode_window_refs_sharded(embed_fn, params, ref_tokens, ref_af,
+                                      wmask, mesh, dtype=jnp.float32)
+    out_ag = retrieve_sharded(embed_fn, params, batch, sctx, mesh, k=2)
+    out_rg = retrieve_sharded(embed_fn, params, batch, sctx, mesh, k=2,
+                              merge="ring")
+    np.testing.assert_allclose(np.asarray(out_ag["rag_emb_h1"]),
+                               np.asarray(out_rg["rag_emb_h1"]))
+
+
+def test_retrieve_sharded_inside_jit(setup):
+    """retrieve_sharded must compose with a surrounding jit (the train
+    step calls it from inside one)."""
+    mesh, model, embed_fn, params, ref_tokens, ref_af, wmask, batch = setup
+    sctx = encode_window_refs_sharded(embed_fn, params, ref_tokens, ref_af,
+                                      wmask, mesh, dtype=jnp.float32)
+
+    @jax.jit
+    def run(p, b, c):
+        out = retrieve_sharded(embed_fn, p, b, c, mesh, k=2, data_axis=None)
+        return out["rag_emb_h1"]
+
+    eager = retrieve_sharded(embed_fn, params, batch, sctx, mesh,
+                             k=2)["rag_emb_h1"]
+    np.testing.assert_allclose(np.asarray(run(params, batch, sctx)),
+                               np.asarray(eager), rtol=1e-5, atol=1e-5)
