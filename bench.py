@@ -13,17 +13,25 @@ Measurement design for a remote-attached chip:
     time measures the index math (cast + norms) — the host->device link
     here fluctuates between ~0.02 and ~70 MB/s and would otherwise swamp
     every number;
-  - exactness is recall@10 of the fused Pallas kernel against the
-    independent XLA implementation (ops/l2_ref.py, HIGHEST-precision
-    matmul + lax.top_k), tie-aware;
-  - the CPU flat-search baseline (numpy/OpenBLAS sgemm + argpartition —
-    the faiss-flat algorithm; faiss is not installed) runs on a 1/8-scale
-    panel and is scaled linearly in N, since exact search is linear in N.
+  - queries are DISTINCT per chunk (no broadcast reuse): 16 independent
+    1024-query batches stream through one jitted scan, the serving shape;
+  - recall is id-based and tie-aware over 512 queries against the
+    independent XLA oracle (ops/l2_ref.py, HIGHEST-precision matmul +
+    lax.top_k): a returned id counts iff it is in the oracle's top-k OR
+    its exact distance ties the oracle's k-th distance;
+  - the CPU baseline is numpy/OpenBLAS sgemm + argpartition — the
+    faiss-flat algorithm with the same BLAS backend faiss-cpu uses
+    (faiss itself is not installed) — on ALL host cores at 1/8 panel
+    scale, scaled linearly in N (exact search is linear in N); the scale
+    factor is stated in the unit string;
+  - mxu_pct = analytic matmul FLOPs (2*B*N*d) over measured time against
+    the chip's 197 TFLOP/s bf16 peak (TPU v5e).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -49,20 +57,23 @@ def main():
     n_windows, haps, d, k = 331, 2008, 2040, 10
     n = n_windows * haps
     batch = 1024  # serving-style batch: amortizes per-dispatch overhead
+    chunks = 16
+    peak_flops = 197e12  # TPU v5e bf16 peak
     rng = np.random.default_rng(0)
 
-    # ---- CPU baseline at 1/8 scale, scaled linearly in N ----
+    # ---- CPU baseline (all cores, 1/8 scale, scaled linearly in N) ----
     n_cpu = n // 8
-    cpu_batch = 16
+    cpu_batch = 256
     refs_cpu = rng.integers(0, 2, (n_cpu, d)).astype(np.float32)
     queries_cpu = rng.integers(0, 2, (cpu_batch, d)).astype(np.float32)
     rn_cpu = (refs_cpu ** 2).sum(1)
+    cpu_flat_search(queries_cpu[:8], refs_cpu, rn_cpu, k)  # warm BLAS
     t0 = time.time()
     cpu_flat_search(queries_cpu, refs_cpu, rn_cpu, k)
     cpu_dt_scaled = (time.time() - t0) * (n / n_cpu)
     cpu_qps = cpu_batch / cpu_dt_scaled
 
-    _stamp("cpu baseline done")
+    _stamp(f"cpu baseline done ({os.cpu_count()} cores)")
     # ---- TPU ----
     import jax
     import jax.numpy as jnp
@@ -72,16 +83,15 @@ def main():
     from rag_snvbert_tpu.utils.benchmarking import (fetch_scalar,
                                                     steady_state_ms)
 
-    # device-side data generation
-    key = jax.random.key(0)
+    # device-side data generation; queries distinct per chunk
     gen = jax.jit(lambda key: jax.random.bernoulli(
         key, 0.5, (n, d)).astype(jnp.int8))
-    refs_dev = gen(key)
+    refs_dev = gen(jax.random.key(0))
     fetch_scalar(refs_dev)
     qgen = jax.jit(lambda key: jax.random.bernoulli(
-        key, 0.5, (batch, d)).astype(jnp.bfloat16))
-    q = qgen(jax.random.key(1))
-    fetch_scalar(q)
+        key, 0.5, (chunks, batch, d)).astype(jnp.bfloat16))
+    qs = qgen(jax.random.key(1))
+    fetch_scalar(qs)
 
     _stamp("data generated")
     # index build (cast + norms) — the rebuild-time metric
@@ -94,17 +104,12 @@ def main():
     build_steady_s = r["per_iter_ms"] / 1e3
 
     _stamp("index built")
-    # fused-kernel search.  Per-dispatch overhead on a remote-attached
-    # chip is ~44 ms, so the throughput loop runs ``chunks`` searches
-    # inside one jitted scan — the serving shape (many batches in flight)
-    # rather than one lonely dispatch per batch.
     t0 = time.time()
-    vals, ids = idx.search(q, k=k)
+    vals, ids = idx.search(qs[0], k=k)
     fetch_scalar(ids)
     compile_s = time.time() - t0
 
     _stamp("first search done")
-    chunks = 16
 
     # NOTE: big arrays must be ARGUMENTS of jitted functions here — a
     # closed-over device array lowers as a captured HLO constant (2.7 GB!)
@@ -123,54 +128,88 @@ def main():
 
         return search_many
 
-    qs = jnp.broadcast_to(q[None], (chunks, batch, d)).astype(q.dtype)
-
-    def qps_of(fn):
-        fetch_scalar(fn(idx.vectors, idx.norms, qs)[1])
-        t = steady_state_ms(lambda: fn(idx.vectors, idx.norms, qs),
-                            iters_lo=1, iters_hi=3)
+    def qps_of(fn, *args):
+        fetch_scalar(fn(*args)[1])
+        t = steady_state_ms(lambda: fn(*args), iters_lo=1, iters_hi=3)
         return batch / (t["per_iter_ms"] / 1e3 / chunks)
 
-    tpu_qps = qps_of(make_many())                       # exact, auto path
-    approx_qps = qps_of(make_many(approx=True))         # hardware topk
-    stream_qps = qps_of(make_many(use_pallas=True))     # streaming kernel
+    def mxu_pct(qps):
+        return round(100 * qps * 2 * n * d / peak_flops, 1)
+
+    args = (idx.vectors, idx.norms, qs)
+    tpu_qps = qps_of(make_many(), *args)              # auto: fused kernel
+    xla_qps = qps_of(make_many(use_pallas=False), *args)
+    approx_qps = qps_of(make_many(approx=True), *args)
     tpu_dt = batch / tpu_qps
 
     _stamp("qps paths done")
-    # tie-aware recall: the streaming Pallas kernel vs the independent XLA
-    # exact implementation, on a query subset (lax.top_k over [B, 664k]
-    # rows is a full sort per row — exactness needs few rows).
-    n_check = 32
+    # partial/masked mode: 50% of dims masked, same resident index
+    # (replaces partial_faiss_intersect.py's rebuild-per-mask).
+    dim_mask = jnp.asarray((np.arange(d) % 2 == 0).astype(np.float32))
 
+    @jax.jit
+    def masked_many(vectors, norms, qs, m):
+        index = FlatL2Index(vectors=vectors, norms=norms)
+
+        def body(carry, qb):
+            return carry, index.masked_search(qb, m, k=k)
+
+        _, out = jax.lax.scan(body, 0, qs)
+        return out
+
+    masked_qps = qps_of(masked_many, idx.vectors, idx.norms, qs, dim_mask)
+
+    _stamp("masked mode done")
+    # id-based tie-aware recall over 512 distinct queries vs the XLA
+    # oracle (chunked: lax.top_k over [B, 664k] rows is a full sort).
+    n_check, oc = 512, 64
+
+    @jax.jit
     def oracle(vectors, q):
         rf = vectors.astype(jnp.float32)
         dm = l2_ref.l2_distances(q.astype(jnp.float32), rf)
         return l2_ref.topk_smallest(dm, k)
 
-    ov, oi = jax.jit(oracle)(idx.vectors, q[:n_check])
     from rag_snvbert_tpu.ops.l2_topk_pallas import l2_topk_pallas
 
-    kv, ki = l2_topk_pallas(q[:n_check], idx.vectors, idx.norms, k)
-    kth = np.asarray(ov)[:, -1][:, None]
-    recall = float((np.asarray(kv) <= kth * (1 + 1e-3) + 1e-3).mean())
+    q_check = qs[0][:n_check]
+    ovs, ois = [], []
+    for i in range(0, n_check, oc):
+        ov, oi = oracle(idx.vectors, q_check[i : i + oc])
+        ovs.append(np.asarray(ov))
+        ois.append(np.asarray(oi))
+    ov = np.concatenate(ovs)          # [n_check, k] exact distances
+    oi = np.concatenate(ois)
+    kv, ki = l2_topk_pallas(q_check, idx.vectors, idx.norms, k)
+    kv, ki = np.asarray(kv), np.asarray(ki)
+    in_topk = (ki[:, :, None] == oi[:, None, :]).any(-1)      # id match
+    ties = np.abs(kv - ov[:, -1][:, None]) <= (1e-3 * np.abs(ov[:, -1][:, None]) + 1e-3)
+    recall = float((in_topk | ties).mean())
 
     _stamp("recall done")
     result = {
         "metric": "l2_query_qps_chip",
         "value": round(tpu_qps, 1),
-        "unit": ("queries/s (331x2008 genotype index, d=2040, k=10, "
-                 "batch 1024; baseline = 1-core numpy/OpenBLAS exact "
-                 "search scaled from N/8)"),
+        "unit": ("queries/s, exact (331x2008 genotype index, d=2040, k=10, "
+                 "16 distinct 1024-query batches; baseline = all-core "
+                 "numpy/OpenBLAS exact search at N/8, scaled 8x linearly "
+                 "in N)"),
         "vs_baseline": round(tpu_qps / cpu_qps, 2),
         "detail": {
             "cpu_flat_qps": round(cpu_qps, 2),
+            "cpu_cores": os.cpu_count(),
             "index_build_first_s": round(build_s, 3),
             "index_build_steady_s": round(build_steady_s, 3),
             "first_search_s": round(compile_s, 3),
             "steady_ms_per_batch": round(tpu_dt * 1e3, 3),
+            "exact_kernel_qps": round(tpu_qps, 1),
+            "exact_kernel_mxu_pct": mxu_pct(tpu_qps),
+            "xla_exact_qps": round(xla_qps, 1),
+            "xla_exact_mxu_pct": mxu_pct(xla_qps),
             "approx_qps": round(approx_qps, 1),
-            "streaming_kernel_qps": round(stream_qps, 1),
-            "recall_at_10_vs_exact": round(recall, 4),
+            "approx_mxu_pct": mxu_pct(approx_qps),
+            "masked_50pct_qps": round(masked_qps, 1),
+            "recall_at_10_id_tie_aware_512q": round(recall, 4),
             "n_vectors": n,
         },
     }

@@ -48,7 +48,7 @@ def _add_model_args(p):
     p.add_argument("--layers", type=int, default=12)
     p.add_argument("--attn-heads", type=int, default=12)
     p.add_argument("--seq-len", type=int, default=1030)
-    p.add_argument("--rag-k", type=int, default=1)
+    p.add_argument("--rag-k", type=int, default=None)
 
 
 # ---------------------------------------------------------------------------
@@ -205,6 +205,40 @@ def cmd_query(args):
 # train
 # ---------------------------------------------------------------------------
 
+def _resolve_trainer_config(args, base):
+    """Preset-first hyperparameter resolution: the preset supplies the
+    versioned recipe (lr, batch, gamma, warmup, ...) and an explicit CLI
+    flag overrides it — `train --preset v17_token_rag` reproduces the v17
+    recipe exactly (run_v17_FIXED.sh), not a silent argparse hybrid."""
+    from ..train.trainer import TrainerConfig
+
+    def pick(flag_value, preset_value):
+        return preset_value if flag_value is None else flag_value
+
+    return TrainerConfig(
+        rag_mode=base.model.rag_mode,
+        epochs=pick(args.epochs, base.epochs),
+        batch_size=pick(args.train_batch_size, base.batch_size),
+        val_batch_size=pick(args.val_batch_size, base.val_batch_size),
+        init_lr=pick(args.init_lr, base.init_lr),
+        max_lr=pick(args.lr, base.max_lr),
+        warmup_steps=pick(args.warmup_steps, base.warmup_steps),
+        grad_accum_steps=pick(args.grad_accum_steps, base.grad_accum_steps),
+        focal_gamma=pick(args.focal_gamma, base.focal_gamma),
+        use_recon_loss=base.use_recon_loss,
+        rag_k=pick(args.rag_k, base.rag_k),
+        rare_threshold=pick(args.rare_threshold, base.rare_threshold),
+        patience=pick(args.patience, base.patience),
+        min_delta=pick(args.min_delta, base.min_delta),
+        output_dir=args.output_path,
+        log_freq=args.log_freq, seed=args.seed,
+        rng_impl=args.rng_impl, prefetch_ctx=args.prefetch_ctx,
+        prefetch_batches=args.prefetch_batches,
+        mask_schedule=args.mask_schedule,
+        shard_ctx={"auto": "auto", "on": True, "off": False}[args.shard_ctx],
+        ctx_merge=args.ctx_merge)
+
+
 def cmd_train(args):
     from ..data.pipeline import WindowDataset
     from ..io.freq import FreqTable
@@ -213,11 +247,12 @@ def cmd_train(args):
     from ..io.vocab import Vocab
     from ..io.windows import Window
     from ..models import BERTFoundationModel, BERTWithEmbeddingRAG
-    from ..train.trainer import Trainer, TrainerConfig
+    from ..train.trainer import Trainer
 
     from ..config import get_preset
 
     preset = get_preset(args.preset) if args.preset else None
+    base = preset or get_preset("v18_embedding_rag")
 
     train_vcf = load_vcf_or_hdf5(args.train_dataset)
     panel = PanelData.from_file(args.train_panel)
@@ -234,6 +269,11 @@ def cmd_train(args):
         val_panel = PanelData.from_file(args.val_panel or args.train_panel)
         val_ds = WindowDataset(val_vcf, val_panel, freq, win.window_info,
                                vocab, ref_vcf=ref_vcf, seq_len=args.seq_len)
+    # Single-cohort train/val via the stratified split indices written by
+    # prepare-data (train_samples.npy / test_samples.npy) — the reference's
+    # scripts/split_data.py workflow.
+    train_ids = np.load(args.train_samples) if args.train_samples else None
+    val_ids = np.load(args.val_samples) if args.val_samples else None
 
     if preset is not None:
         model = preset.build_model(vocab_size=vocab.size)
@@ -247,18 +287,17 @@ def cmd_train(args):
         return model.apply({"params": p}, toks, af, deterministic,
                            method=model.embed, rngs=rngs)
 
-    rag_mode = preset.model.rag_mode if preset else "embedding"
-    cfg = TrainerConfig(
-        rag_mode=rag_mode,
-        epochs=args.epochs, batch_size=args.train_batch_size,
-        val_batch_size=args.val_batch_size, init_lr=args.init_lr,
-        max_lr=args.lr, warmup_steps=args.warmup_steps,
-        grad_accum_steps=args.grad_accum_steps,
-        focal_gamma=args.focal_gamma, rag_k=args.rag_k,
-        rare_threshold=args.rare_threshold, patience=args.patience,
-        min_delta=args.min_delta, output_dir=args.output_path,
-        log_freq=args.log_freq, seed=args.seed)
-    trainer = Trainer(model, embed_fn, train_ds, cfg, val_ds=val_ds)
+    mesh = None
+    if args.data_parallel > 1 or args.index_shards > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.data_parallel,
+                         n_index=args.index_shards)
+
+    cfg = _resolve_trainer_config(args, base)
+    trainer = Trainer(model, embed_fn, train_ds, cfg, val_ds=val_ds,
+                      mesh=mesh, train_sample_ids=train_ids,
+                      val_sample_ids=val_ids)
     if args.resume_path:
         trainer.restore_checkpoint(args.resume_path)
     result = trainer.fit()
@@ -289,14 +328,24 @@ def cmd_infer(args):
         vocab_size = Vocab.from_panel_pops(panel.pop_list).size
     else:
         vocab_size = args.vocab_size
+    rag_mode = args.rag_mode
     if args.preset:
         from ..config import get_preset
 
-        model = get_preset(args.preset).build_model(vocab_size=vocab_size)
+        preset = get_preset(args.preset)
+        if rag_mode is None:
+            rag_mode = preset.model.rag_mode
+        model = preset.build_model(vocab_size=vocab_size)
     else:
         import jax.numpy as jnp
 
-        bert = BERTWithEmbeddingRAG(
+        from ..models import BERT, BERTWithRAG
+
+        if rag_mode is None:
+            rag_mode = "embedding"
+        cls = {"embedding": BERTWithEmbeddingRAG, "token": BERTWithRAG,
+               "none": BERT}[rag_mode]
+        bert = cls(
             vocab_size=vocab_size, dims=args.dims, n_layers=args.layers,
             attn_heads=args.attn_heads, pre_ln=args.pre_ln,
             scan_layers=args.scan_layers, remat=args.remat,
@@ -307,9 +356,19 @@ def cmd_infer(args):
 
     import orbax.checkpoint as ocp
     # Trainer checkpoints hold {params, opt_state, step, epoch, level};
-    # inference needs only the params, so restore untargeted and pick them.
+    # inference needs only the params.  Restore against ShapeDtypeStruct
+    # targets derived from the checkpoint's own metadata — device-agnostic
+    # (an untargeted restore pins to the devices recorded at save time,
+    # which may not exist in this process).
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    sh = jax.sharding.SingleDeviceSharding(dev)
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.abspath(args.model_path))
+        path = os.path.abspath(args.model_path)
+        meta = ckptr.metadata(path).item_metadata.tree
+        abstract = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sh),
+            meta)
+        restored = ckptr.restore(path, abstract)
     import jax.numpy as _jnp
     params = jax.tree.map(_jnp.asarray, restored["params"])
 
@@ -319,7 +378,12 @@ def cmd_infer(args):
 
     imp = Imputer(model, embed_fn, params, ref_vcf, freq,
                   window_len=args.infer_window_len, seq_len=args.seq_len,
-                  rag_k=args.rag_k, batch_size=args.batch_size)
+                  rag_k=args.rag_k if args.rag_k is not None else 1,
+                  batch_size=args.batch_size, rag_mode=rag_mode,
+                  index_dir=args.index_dir)
+    if args.save_index_dir:
+        manifest = imp.save_window_indexes(args.save_index_dir, target)
+        print(json.dumps({"saved_indexes": manifest}))
     if args.progressive_rounds > 1:
         res = imp.impute_progressive(target, rounds=args.progressive_rounds)
     else:
@@ -411,21 +475,49 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--freq_path", required=True)
     pt.add_argument("--window_path", required=True)
     _add_model_args(pt)
-    pt.add_argument("--epochs", type=int, default=20)
-    pt.add_argument("--train_batch_size", type=int, default=24)
-    pt.add_argument("--val_batch_size", type=int, default=48)
-    pt.add_argument("--lr", type=float, default=7.5e-5)
-    pt.add_argument("--init_lr", type=float, default=1e-5)
-    pt.add_argument("--warmup_steps", type=int, default=15000)
-    pt.add_argument("--grad_accum_steps", type=int, default=2)
-    pt.add_argument("--focal_gamma", type=float, default=2.0)
-    pt.add_argument("--patience", type=int, default=5)
-    pt.add_argument("--min_delta", type=float, default=0.001)
-    pt.add_argument("--rare_threshold", type=float, default=0.05)
+    # Run hyperparams default to None: unset flags inherit the preset's
+    # recipe (or the v18 defaults without --preset); set flags override.
+    pt.add_argument("--epochs", type=int, default=None)
+    pt.add_argument("--train_batch_size", type=int, default=None)
+    pt.add_argument("--val_batch_size", type=int, default=None)
+    pt.add_argument("--lr", type=float, default=None)
+    pt.add_argument("--init_lr", type=float, default=None)
+    pt.add_argument("--warmup_steps", type=int, default=None)
+    pt.add_argument("--grad_accum_steps", type=int, default=None)
+    pt.add_argument("--focal_gamma", type=float, default=None)
+    pt.add_argument("--patience", type=int, default=None)
+    pt.add_argument("--min_delta", type=float, default=None)
+    pt.add_argument("--rare_threshold", type=float, default=None)
     pt.add_argument("--resume_path", default=None)
     pt.add_argument("--output_path", required=True)
     pt.add_argument("--log_freq", type=int, default=500)
     pt.add_argument("--seed", type=int, default=42)
+    pt.add_argument("--train-samples", dest="train_samples", default=None,
+                    help=".npy sample-index subset for training "
+                         "(prepare-data --split-test-fraction output)")
+    pt.add_argument("--val-samples", dest="val_samples", default=None,
+                    help=".npy sample-index subset for validation on the "
+                         "training cohort (single-VCF train/val)")
+    pt.add_argument("--data-parallel", dest="data_parallel", type=int,
+                    default=1, help="devices on the mesh data axis")
+    pt.add_argument("--index-shards", dest="index_shards", type=int,
+                    default=1, help="devices on the mesh index axis "
+                    "(shards the retrieval context)")
+    pt.add_argument("--shard-ctx", dest="shard_ctx",
+                    choices=["auto", "on", "off"], default="auto")
+    pt.add_argument("--ctx-merge", dest="ctx_merge",
+                    choices=["all_gather", "ring"], default="all_gather")
+    pt.add_argument("--prefetch-ctx", dest="prefetch_ctx",
+                    action="store_true",
+                    help="dispatch the next window's retrieval-context "
+                         "encode behind the current window's steps")
+    pt.add_argument("--prefetch-batches", dest="prefetch_batches", type=int,
+                    default=2, help="host batch prefetch depth (0 = sync)")
+    pt.add_argument("--rng-impl", dest="rng_impl",
+                    choices=["rbg", "threefry2x32"], default="rbg")
+    pt.add_argument("--mask-schedule", dest="mask_schedule",
+                    choices=["level", "cosine", "linear", "exponential"],
+                    default="level")
     pt.set_defaults(fn=cmd_train)
 
     pi = sub.add_parser("infer")
@@ -450,6 +542,18 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--no_attn_dropout", action="store_true")
     pi.add_argument("--batch_size", type=int, default=32)
     pi.add_argument("--progressive_rounds", type=int, default=1)
+    pi.add_argument("--rag-mode", dest="rag_mode", default=None,
+                    choices=["embedding", "token", "none"],
+                    help="retrieval mode; defaults to the preset's (or "
+                         "embedding) — 'token' serves v17_token_rag "
+                         "checkpoints")
+    pi.add_argument("--index-dir", dest="index_dir", default=None,
+                    help="load persisted per-window embedding indexes "
+                         "(written by --save-index-dir) instead of "
+                         "re-encoding the reference panel")
+    pi.add_argument("--save-index-dir", dest="save_index_dir", default=None,
+                    help="persist per-window embedding indexes for this "
+                         "target's mask pattern, then impute")
     pi.set_defaults(fn=cmd_infer)
 
     pe = sub.add_parser("emit-vcf")

@@ -27,8 +27,9 @@ class ModelConfig:
     seq_len: int = 1030
     rag_mode: str = "embedding"   # "embedding" | "token" | "none"
     pre_ln: bool = False          # True = modern pre-norm variant
-    remat: bool = False
+    remat: bool | str = False     # True | "save_most" | "save_ffn" | "attention"
     bf16: bool = False            # bf16 compute dtype for the encoder
+    dropout_broadcast: bool = False  # sequence-shared residual dropout masks
     attn_dropout: float | None = None  # 0 disables attention-prob dropout
     scan_layers: bool = False     # lax.scan over encoder layers (fast compile)
     flash_attention: bool = False
@@ -68,7 +69,8 @@ class RunConfig:
                    dtype=jnp.bfloat16 if m.bf16 else jnp.float32,
                    attn_dropout=m.attn_dropout, scan_layers=m.scan_layers,
                    flash_attention=m.flash_attention,
-                   score_dtype=jnp.bfloat16 if m.score_bf16 else jnp.float32)
+                   score_dtype=jnp.bfloat16 if m.score_bf16 else jnp.float32,
+                   dropout_broadcast=m.dropout_broadcast)
         return BERTFoundationModel(bert=bert,
                                    compat_double_softmax=m.compat_double_softmax)
 
@@ -97,15 +99,18 @@ PRESETS: dict[str, RunConfig] = {
     "v18_large": RunConfig(
         model=ModelConfig(dims=256, n_layers=12, attn_heads=8)),
     # TPU-tuned variant — the recommended starting point for new training
-    # runs on TPU.  Measured ablation (v5e, 12L/384d, L=1030, 48 streams):
-    # attention-score HBM traffic dominates the step, so this preset uses
-    # 3 fat heads (head_dim 128: score bytes are B*H*L^2, FLOPs are not)
-    # + bf16 scores + remat + scanned layers -> encoder fwd+bwd 522 ms ->
-    # 168 ms.  Same parameter count as 12 heads.
+    # runs on TPU.  Measured ablations (v5e, 12L/384d, L=1030, 48 streams):
+    # attention-score HBM traffic dominates, so 3 fat heads (head_dim 128:
+    # score bytes are B*H*L^2, FLOPs are not) + bf16 scores (round 1:
+    # encoder fwd+bwd 522 -> 168 ms).  Round 2: dropping remat entirely
+    # (fits HBM only with scan_layers=False — scanned no-remat overflows)
+    # + sequence-broadcast residual-dropout masks takes the full train
+    # step 213 -> 165.6 ms (B=24).  Same parameter count as 12 heads.
     "tpu_default": RunConfig(
         model=ModelConfig(dims=384, n_layers=12, attn_heads=3,
-                          pre_ln=True, remat=True, bf16=True,
-                          attn_dropout=0.0, scan_layers=True,
+                          pre_ln=True, remat=False, bf16=True,
+                          attn_dropout=0.0, scan_layers=False,
+                          dropout_broadcast=True,
                           score_bf16=True)),
 }
 

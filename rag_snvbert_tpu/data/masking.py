@@ -42,13 +42,19 @@ VAL_SEED = 2024
 VAL_LEVEL = 4
 
 
-def mask_rate(level: int) -> float:
-    return MASK_RATES[min(level, MAX_LEVEL)]
+def mask_rate(level) -> float:
+    """Common-site mask rate: an int indexes the discrete curriculum
+    (MASK_RATES); a float is a continuous rate directly (the
+    AdaptiveMaskScheduler path, adaptive_mask_ratio below)."""
+    if isinstance(level, (int, np.integer)):
+        return MASK_RATES[min(level, MAX_LEVEL)]
+    return float(level)
 
 
-def af_guided_probs(af: np.ndarray, level: int) -> np.ndarray:
+def af_guided_probs(af: np.ndarray, level) -> np.ndarray:
     """Per-site mask probabilities: rare sites (AF < 0.05) masked at 70%,
-    common sites at the curriculum rate."""
+    common sites at the curriculum rate (``level``: int curriculum level or
+    float continuous rate)."""
     return np.where(np.asarray(af) < RARE_AF_THRESHOLD, RARE_MASK_RATE,
                     mask_rate(level)).astype(np.float32)
 

@@ -35,7 +35,9 @@ from ..data.tokenize import position_normalize, sequence_padding, tokenize
 from ..io.freq import AF, FreqTable
 from ..io.vcf import VCFData, write_imputed_vcf
 from ..io.vocab import INFER_WINDOW_LEN, MAX_SEQ_LEN
-from ..train.retrieval import WindowRefContext, encode_window_refs, retrieve
+from ..train.retrieval import (TokenWindowContext, WindowRefContext,
+                               build_token_window_ctx, encode_window_refs,
+                               retrieve, retrieve_tokens)
 
 
 @dataclasses.dataclass
@@ -70,7 +72,25 @@ class Imputer:
                  window_len: int = INFER_WINDOW_LEN,
                  seq_len: int = MAX_SEQ_LEN, rag_k: int = 1,
                  ref_pad_haps: int = 2048, batch_size: int = 32,
-                 use_pallas: bool | None = None, window=None):
+                 use_pallas: bool | None = None, window=None,
+                 rag_mode: str = "embedding", index_dir: str | None = None):
+        """``rag_mode``: "embedding" (V18, embedding-space retrieval),
+        "token" (V17, raw-token-space retrieval — the model must be a
+        BERTWithRAG that re-encodes rag_seg_h{1,2}; reference
+        src/dataset/rag_infer_dataset.py:20-390), or "none" (plain BERT).
+
+        ``index_dir``: load persisted per-window embedding indexes written
+        by ``save_window_indexes`` instead of re-encoding refs per window
+        (the reference's on-disk FAISS index load,
+        embedding_rag_infer_dataset.py:209-224).  The persisted masks must
+        match this target (same ``position_needed`` pattern)."""
+        assert rag_mode in ("embedding", "token", "none"), rag_mode
+        self.rag_mode = rag_mode
+        self.index_dir = index_dir
+        if index_dir is not None:
+            assert rag_mode == "embedding", (
+                "persisted indexes exist only for embedding-space RAG "
+                "(token-space indexes are trivially rebuilt from tokens)")
         self.model = model
         self.embed_fn = embed_fn
         self.params = params
@@ -100,8 +120,10 @@ class Imputer:
 
     # ---- per-window pieces ----
 
-    def _window_ctx(self, s: int, e: int, site_mask: np.ndarray
-                    ) -> WindowRefContext:
+    def _window_ctx(self, w: int, s: int, e: int, site_mask: np.ndarray
+                    ) -> WindowRefContext | TokenWindowContext | None:
+        if self.rag_mode == "none":
+            return None
         raw = self.ref_vcf.gt[s:e]                    # [n, S, 2]
         raw = raw.reshape(raw.shape[0], -1).T          # [2S, n]
         toks = tokenize(raw, None, self.seq_len).astype(np.int32)
@@ -114,6 +136,28 @@ class Imputer:
         af = sequence_padding(self.freq.lookup(
             AF, self.freq.global_idx, self.ref_vcf.pos[s:e]), self.seq_len)
         wmask = sequence_padding(site_mask.astype(np.int32), self.seq_len)
+        if self.rag_mode == "token":
+            # V17 token-space context: index over masked raw token vectors
+            # (rag_infer_dataset.py:20-390); no encoder pass needed.
+            return build_token_window_ctx(jnp.asarray(toks),
+                                          jnp.asarray(wmask),
+                                          valid=jnp.asarray(valid))
+        if self.index_dir is not None:
+            # Load the persisted embedding index (the reference's
+            # faiss.read_index + index_cpu_to_gpu one-slot cache,
+            # embedding_rag_infer_dataset.py:209-224 — here one device_put).
+            import os
+
+            from ..index.flat import FlatL2Index
+
+            idx = FlatL2Index.load(os.path.join(self.index_dir,
+                                                f"index_{w}"))
+            n = idx.vectors.shape[0]
+            emb = idx.vectors.reshape(n, self.seq_len, -1)
+            return WindowRefContext(ref_emb_search=emb,
+                                    ref_tokens=jnp.asarray(toks),
+                                    ref_af=jnp.asarray(af),
+                                    ref_norms=idx.norms)
         return encode_window_refs(self.embed_fn, self.params,
                                   jnp.asarray(toks), jnp.asarray(af),
                                   jnp.asarray(wmask),
@@ -140,9 +184,14 @@ class Imputer:
         found = np.clip(found, 0, max(len(target.pos) - 1, 0))
         present = (target.pos[found] == self.ref_vcf.pos) \
             if len(target.pos) else np.zeros(self.ref_vcf.n_variants, bool)
-        manifest = {"windows": len(self.windows), "d": None}
+        assert self.rag_mode == "embedding", "indexes are embedding-space"
+        assert self.index_dir is None, (
+            "this Imputer loads persisted indexes; build the artifacts "
+            "with an Imputer constructed without index_dir")
+        manifest = {"windows": len(self.windows), "d": None,
+                    "seq_len": self.seq_len}
         for w, (s, e) in enumerate(self.windows):
-            ctx = self._window_ctx(s, e, ~present[s:e])
+            ctx = self._window_ctx(w, s, e, ~present[s:e])
             n = ctx.ref_emb_search.shape[0]
             vectors = ctx.ref_emb_search.reshape(n, -1)
             idx = FlatL2Index(vectors=vectors, norms=ctx.ref_norms)
@@ -154,9 +203,14 @@ class Imputer:
             _json.dump(manifest, f)
         return manifest
 
-    def _forward(self, batch: dict, ctx: WindowRefContext):
-        x = retrieve(self.embed_fn, self.params, batch, ctx, self.rag_k,
-                     self.use_pallas, deterministic=True)
+    def _forward(self, batch: dict, ctx):
+        if isinstance(ctx, TokenWindowContext):
+            x = retrieve_tokens(batch, ctx, self.rag_k, self.use_pallas)
+        elif ctx is None:
+            x = batch
+        else:
+            x = retrieve(self.embed_fn, self.params, batch, ctx, self.rag_k,
+                         self.use_pallas, deterministic=True)
         out = self.model.apply({"params": self.params}, x,
                                deterministic=True)
         p1 = jax.nn.softmax(out[0], axis=-1)[..., 1]
@@ -189,10 +243,10 @@ class Imputer:
         L = self.seq_len
         bs = self.batch_size
 
-        for (s, e) in self.windows:
+        for w, (s, e) in enumerate(self.windows):
             n = e - s
             miss = ~present[s:e]                      # mask = absent sites
-            ctx = self._window_ctx(s, e, miss)
+            ctx = self._window_ctx(w, s, e, miss)
 
             # assemble queries: known alleles where present, 0 elsewhere
             rows = target_rows[s:e]

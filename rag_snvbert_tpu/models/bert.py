@@ -36,6 +36,7 @@ class BERT(nn.Module):
     scan_layers: bool = False        # lax.scan over encoder layers
     flash_attention: bool = False    # fused Pallas attention kernel
     score_dtype: jnp.dtype = jnp.float32
+    dropout_broadcast: bool = False  # sequence-shared residual-dropout masks
 
     def setup(self):
         self.embedding = BERTEmbedding(self.vocab_size, self.dims,
@@ -47,7 +48,8 @@ class BERT(nn.Module):
                                attn_dropout=self.attn_dropout,
                                flash=self.flash_attention,
                                score_dtype=self.score_dtype,
-                               scan=self.scan_layers)
+                               scan=self.scan_layers,
+                               dropout_broadcast=self.dropout_broadcast)
 
     def embed(self, tokens, af, deterministic=True):
         """Embedding-layer forward — the retrieval encoder. Exposed so the

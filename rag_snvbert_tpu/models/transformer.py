@@ -95,7 +95,12 @@ class MultiHeadAttention(nn.Module):
             if mask is not None:
                 score = jnp.where(mask == 0,
                                   jnp.asarray(-1e9, score.dtype), score)
+            # Named so remat="save_most" can drop ONLY these [B,H,L,L]
+            # tensors (the dominant activation-memory term at L ~ 1030)
+            # and keep every cheap-to-store activation.
+            score = checkpoint_name(score, "attn_scores")
             probs = jax.nn.softmax(score, axis=-1).astype(self.dtype)
+            probs = checkpoint_name(probs, "attn_probs")
             probs = nn.Dropout(attn_rate)(probs, deterministic=deterministic)
             out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
@@ -108,6 +113,8 @@ class FeedForward(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
+    dropout_broadcast: bool = False
+
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         h = nn.leaky_relu(nn.Dense(self.hidden_dims, name="w_1",
@@ -119,7 +126,9 @@ class FeedForward(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype)(h)
         h = nn.leaky_relu(nn.Dense(self.dims, name="w_2",
                                    dtype=self.dtype)(h), negative_slope=0.1)
-        return nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        bdims = (1,) if self.dropout_broadcast else ()
+        return nn.Dropout(self.dropout, broadcast_dims=bdims)(
+            h, deterministic=deterministic)
 
 
 class TransformerBlock(nn.Module):
@@ -141,6 +150,10 @@ class TransformerBlock(nn.Module):
     flash: bool = False
     score_dtype: jnp.dtype = jnp.float32
     attn_remat: bool = False
+    dropout_broadcast: bool = False  # share residual-dropout masks across
+    # the sequence dim ([B,1,D] instead of [B,L,D]): ~1000x fewer random
+    # bits per mask at L~1030 — an opt-in perf knob with a (mild) semantic
+    # change from the reference's per-position masks.
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None,
@@ -155,8 +168,12 @@ class TransformerBlock(nn.Module):
                         score_dtype=self.score_dtype,
                         name="attention")
         ffn = FeedForward(self.dims, self.feed_forward_hidden, self.dropout,
-                          dtype=self.dtype, name="feed_forward")
-        drop = lambda y: nn.Dropout(self.dropout)(y, deterministic=deterministic)
+                          dtype=self.dtype,
+                          dropout_broadcast=self.dropout_broadcast,
+                          name="feed_forward")
+        bdims = (1,) if self.dropout_broadcast else ()
+        drop = lambda y: nn.Dropout(self.dropout, broadcast_dims=bdims)(
+            y, deterministic=deterministic)
 
         x = x.astype(self.dtype)
         if self.pre_ln:
@@ -197,10 +214,16 @@ class Encoder(nn.Module):
     # tensors (skips recomputing the largest matmul at ~150 MB/layer —
     # measured slightly SLOWER than full-block remat at flagship scale,
     # 177 vs 168 ms: the extra HBM round trips outweigh the recompute);
+    # "save_most" = store everything EXCEPT the [B,H,L,L] attention
+    # score/prob tensors (backward recomputes just the two attention
+    # einsums + softmax) — NOTE: at flagship scale (12L, 48 streams,
+    # L=1030) the stored activations exceed HBM and compilation fails;
+    # at that scale use remat=False with scan=False (165.6 ms/step
+    # measured) or full-block remat (199.7 ms) instead;
     # "attention" = checkpoint only the attention sublayer (stores FFN
     # activations, recomputes the [L,L] intermediates).  At the flagship
     # scale (12L, 48 streams, L=1030) attention-only remat needs ~20 GB
-    # HBM — use full-block or save_ffn remat there.
+    # HBM — use full-block or save_most remat there.
     dtype: jnp.dtype = jnp.float32
     attn_dropout: float | None = None
     flash: bool = False
@@ -208,16 +231,24 @@ class Encoder(nn.Module):
     scan: bool = False  # lax.scan over layers: one traced block body
     # instead of n_layers inlined copies — ~10x smaller HLO / compile time.
     # Parameters gain a leading [n_layers] axis under this layout.
+    dropout_broadcast: bool = False  # see TransformerBlock.dropout_broadcast
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None,
                  deterministic: bool = True) -> jax.Array:
         attn_remat = self.remat == "attention"
-        block_remat = self.remat is True or self.remat == "save_ffn"
+        block_remat = self.remat in (True, "save_ffn", "save_most")
         policy = None
         if self.remat == "save_ffn":
             policy = jax.checkpoint_policies.save_only_these_names(
                 "ffn_hidden")
+        elif self.remat == "save_most":
+            # Surgical policy: store every activation except the [B,H,L,L]
+            # score/prob tensors — backward recomputes only the two
+            # attention einsums + softmax (trivial FLOPs; the win is not
+            # re-running the whole block like full remat does).
+            policy = jax.checkpoint_policies.save_anything_except_these_names(
+                "attn_scores", "attn_probs")
         block_cls = TransformerBlock
         if block_remat:
             block_cls = nn.remat(TransformerBlock, static_argnums=(3,),
@@ -238,13 +269,13 @@ class Encoder(nn.Module):
             x, _ = scan_cls(self.dims, self.attn_heads, 4 * self.dims,
                             self.dropout, self.pre_ln, self.dtype,
                             self.attn_dropout, self.flash, self.score_dtype,
-                            attn_remat,
+                            attn_remat, self.dropout_broadcast,
                             name="blocks")(x, mask, deterministic)
             return x
         for i in range(self.n_layers):
             x = block_cls(self.dims, self.attn_heads, 4 * self.dims,
                           self.dropout, self.pre_ln, self.dtype,
                           self.attn_dropout, self.flash, self.score_dtype,
-                          attn_remat,
+                          attn_remat, self.dropout_broadcast,
                           name=f"block_{i}")(x, mask, deterministic)
         return x

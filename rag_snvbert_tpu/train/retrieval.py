@@ -93,17 +93,15 @@ def retrieve_tokens(batch: dict, ctx: TokenWindowContext, k: int = 1,
         use_pallas = (jax.default_backend() == "tpu" and n > 16384)
     refs = ctx.ref_tokens_masked.astype(jnp.float32)
 
-    def search(tokens):
-        q = tokens.astype(jnp.float32)
-        if use_pallas:
-            _, ids = l2_topk_pallas(q, refs, ctx.ref_norms, k)
-        else:
-            d = l2_ref.l2_distances(q, refs, r_norms=ctx.ref_norms)
-            _, ids = l2_ref.topk_smallest(d, k)
-        return ids
-
-    i1 = search(batch["hap_1"])  # [B, k]
-    i2 = search(batch["hap_2"])
+    # One stacked [2B, L] search for both haplotypes (half the dispatches).
+    q = jnp.concatenate([batch["hap_1"], batch["hap_2"]],
+                        axis=0).astype(jnp.float32)
+    if use_pallas:
+        _, ids = l2_topk_pallas(q, refs, ctx.ref_norms, k)
+    else:
+        d = l2_ref.l2_distances(q, refs, r_norms=ctx.ref_norms)
+        _, ids = l2_ref.topk_smallest(d, k)
+    i1, i2 = jnp.split(ids, 2, axis=0)  # [B, k] each
     out = dict(batch)
     out["rag_seg_h1"] = ctx.ref_tokens[i1]  # [B, k, L]
     out["rag_seg_h2"] = ctx.ref_tokens[i2]
@@ -189,14 +187,16 @@ def retrieve(embed_fn: Callable, params: Any, batch: dict,
         return embed_fn(params, tokens, af, deterministic, rngs)
 
     af = batch["af"]
-    q1 = embed(batch["hap_1"], af)  # [B, L, D] with grad
-    q2 = embed(batch["hap_2"], af)
+    b = batch["hap_1"].shape[0]
+    # One stacked [2B, L] embed + search for both haplotypes: halves the
+    # retrieval programs and feeds the MXU one fat matmul.
+    toks = jnp.concatenate([batch["hap_1"], batch["hap_2"]], axis=0)
+    af2 = jnp.concatenate([af, af], axis=0)
+    q = embed(toks, af2)                                 # [2B, L, D] w/ grad
 
-    i1 = _search(q1, ctx, k, use_pallas)  # [B, k]
-    i2 = _search(q2, ctx, k, use_pallas)
+    ids = _search(q, ctx, k, use_pallas)                 # [2B, k]
 
-    b = q1.shape[0]
-    all_ids = jnp.concatenate([i1.reshape(-1), i2.reshape(-1)])   # [2*B*k]
+    all_ids = ids.reshape(-1)                            # [2*B*k]
     ret_tokens = ctx.ref_tokens[all_ids]                          # [2Bk, L]
     ret_af = jnp.broadcast_to(ctx.ref_af[None, :], ret_tokens.shape)
     ret_emb = embed(ret_tokens, ret_af)                           # with grad

@@ -126,9 +126,11 @@ def retrieve_sharded(embed_fn: Callable, params: Any, batch: dict,
         return embed_fn(params, tokens, af, deterministic, rngs)
 
     af = batch["af"]
-    q1 = embed(batch["hap_1"], af)   # [B, L, D] with grad
-    q2 = embed(batch["hap_2"], af)
-    b, l, d_model = q1.shape
+    b = batch["hap_1"].shape[0]
+    # Stacked [2B, L] embed + search for both haplotypes (one program).
+    toks = jnp.concatenate([batch["hap_1"], batch["hap_2"]], axis=0)
+    q = embed(toks, jnp.concatenate([af, af], axis=0))  # [2B, L, D] w/ grad
+    l, d_model = q.shape[1], q.shape[2]
 
     qspec = P(data_axis) if data_axis and data_axis in mesh.shape else P()
     search = jax.shard_map(
@@ -139,16 +141,10 @@ def retrieve_sharded(embed_fn: Callable, params: Any, batch: dict,
         out_specs=(qspec, qspec),
         check_vma=False)
 
-    def ids_of(q_emb):
-        qf = jax.lax.stop_gradient(q_emb).astype(ctx.ref_emb_flat.dtype)
-        qf = qf.reshape(b, -1)
-        _, ids = search(qf, ctx.ref_emb_flat, ctx.ref_norms)
-        return ids
+    qf = jax.lax.stop_gradient(q).astype(ctx.ref_emb_flat.dtype)
+    _, ids = search(qf.reshape(2 * b, -1), ctx.ref_emb_flat, ctx.ref_norms)
 
-    i1 = ids_of(q1)
-    i2 = ids_of(q2)
-
-    all_ids = jnp.concatenate([i1.reshape(-1), i2.reshape(-1)])
+    all_ids = ids.reshape(-1)
     ret_tokens = ctx.ref_tokens[all_ids]
     ret_af = jnp.broadcast_to(ctx.ref_af[None, :], ret_tokens.shape)
     ret_emb = embed(ret_tokens, ret_af)    # gradient flows here

@@ -89,6 +89,20 @@ class TrainerConfig:
     # device stream, overlapping make_batch with the previous step's
     # compute.  0 disables (synchronous assembly).
     prefetch_batches: int = 2
+    # Training mask schedule: "level" = the discrete curriculum (add_level
+    # every ``curriculum_every`` epochs); "cosine" | "linear" |
+    # "exponential" = the continuous AdaptiveMaskScheduler ramp
+    # (masking.adaptive_mask_ratio; reference src/main/pretrain.py:21-36).
+    # Validation always uses the fixed val_level/val_seed.
+    mask_schedule: str = "level"
+    mask_start: float = 0.15           # continuous-schedule ramp bounds
+    mask_end: float = 0.8
+    # Checkpointing: save asynchronously (orbax async — the save overlaps
+    # the next epoch's steps instead of blocking the stream) and keep only
+    # the newest N epoch checkpoints on disk (best is always kept).
+    # keep_checkpoints=0 keeps everything.
+    async_checkpoints: bool = True
+    keep_checkpoints: int = 3
 
 
 @dataclasses.dataclass
@@ -128,15 +142,27 @@ class Trainer:
 
     def __init__(self, model, embed_fn: Callable, train_ds: WindowDataset,
                  cfg: TrainerConfig, val_ds: WindowDataset | None = None,
-                 init_params: Any | None = None, mesh=None):
+                 init_params: Any | None = None, mesh=None,
+                 train_sample_ids=None, val_sample_ids=None):
         """``mesh``: optional jax.sharding.Mesh for data-parallel training —
         params/opt-state replicated, batches sharded over the ``data`` axis
         (gradient psum over ICI inserted by the compiler).  Batch size must
-        be a multiple of the data-axis size."""
+        be a multiple of the data-axis size.
+
+        ``train_sample_ids``/``val_sample_ids``: optional sample-index
+        subsets (e.g. the stratified split written by prepare-data) — the
+        single-cohort train/val workflow of the reference
+        (scripts/split_data.py:14-261): when ``val_sample_ids`` is given
+        without a separate ``val_ds``, validation runs on ``train_ds``
+        restricted to those samples."""
         self.model = model
         self.embed_fn = embed_fn
         self.train_ds = train_ds
         self.val_ds = val_ds
+        self.train_sample_ids = (None if train_sample_ids is None
+                                 else np.asarray(train_sample_ids))
+        self.val_sample_ids = (None if val_sample_ids is None
+                               else np.asarray(val_sample_ids))
         self.cfg = cfg
         self.mesh = mesh
         self.level = 0
@@ -212,9 +238,21 @@ class Trainer:
 
     # ---- epoch loops ----
 
+    @property
+    def has_validation(self) -> bool:
+        return self.val_ds is not None or self.val_sample_ids is not None
+
     def _run_epoch(self, epoch: int, train: bool) -> dict:
-        ds = self.train_ds if train else self.val_ds
+        ds = self.train_ds if train else (self.val_ds or self.train_ds)
+        sample_ids = self.train_sample_ids if train else self.val_sample_ids
         level = self.level if train else self.cfg.val_level
+        if train and self.cfg.mask_schedule != "level":
+            # Continuous AdaptiveMaskScheduler ratio instead of the
+            # discrete curriculum level (floats flow through
+            # masking.mask_rate directly).
+            level = masking.adaptive_mask_ratio(
+                epoch, self.cfg.epochs, start=self.cfg.mask_start,
+                end=self.cfg.mask_end, schedule=self.cfg.mask_schedule)
         seed = epoch if train else self.cfg.val_seed
         bs = self.cfg.batch_size if train else self.cfg.val_batch_size
         # Counters/totals stay ON DEVICE across the epoch (tiny adds in
@@ -231,7 +269,7 @@ class Trainer:
         prefetched: dict[int, object] = {}
         use_rag = ds.ref_vcf is not None and self.cfg.rag_mode != "none"
         batch_iter = ds.epoch_batches(bs, epoch, level, shuffle=train,
-                                      seed=seed)
+                                      seed=seed, sample_ids=sample_ids)
         if self.cfg.prefetch_batches > 0:
             from ..data.prefetch import prefetch_iter
 
@@ -300,7 +338,7 @@ class Trainer:
                        "level": self.level, **tr})
             row = {"epoch": epoch, "level": self.level,
                    **{f"train_{k}": v for k, v in tr.items()}}
-            if self.val_ds is not None:
+            if self.has_validation:
                 va = self._run_epoch(epoch, train=False)
                 self._log({"event": "val_epoch", "epoch": epoch, **va})
                 row.update({f"val_{k}": v for k, v in va.items()})
@@ -323,28 +361,74 @@ class Trainer:
             # curriculum: add_level every N epochs, capped
             if (epoch + 1) % cfg.curriculum_every == 0:
                 self.level = min(self.level + 1, cfg.max_level)
+        self.finalize()  # commit any in-flight async checkpoint
         return {"history": history, "best": self.stopper.best,
                 "best_epoch": self.stopper.best_epoch}
 
     # ---- persistence ----
 
-    def save_checkpoint(self, epoch: int, is_best: bool) -> None:
-        import orbax.checkpoint as ocp
+    _ckptr = None
 
+    def _checkpointer(self):
+        if self._ckptr is None:
+            import orbax.checkpoint as ocp
+
+            self._ckptr = ocp.StandardCheckpointer()
+        return self._ckptr
+
+    def save_checkpoint(self, epoch: int, is_best: bool) -> None:
+        """Save the epoch checkpoint.  With ``async_checkpoints`` the save
+        runs on orbax's background thread and overlaps the next epoch's
+        steps (a new save waits for the previous commit, so at most one is
+        in flight); old epoch dirs beyond ``keep_checkpoints`` are garbage
+        collected (the best checkpoint is always kept)."""
+        ckptr = self._checkpointer()
         path = os.path.abspath(
             os.path.join(self.cfg.output_dir, f"ckpt_ep{epoch}"))
-        with ocp.StandardCheckpointer() as ckptr:
-            payload = {"params": self.state.params,
-                       "opt_state": self.state.opt_state,
-                       "step": np.asarray(self.state.step),
-                       "epoch": np.asarray(epoch),
-                       "level": np.asarray(self.level)}
-            ckptr.save(path, payload, force=True)
+        payload = {"params": self.state.params,
+                   "opt_state": self.state.opt_state,
+                   "step": np.asarray(self.state.step),
+                   "epoch": np.asarray(epoch),
+                   "level": np.asarray(self.level)}
+        ckptr.save(path, payload, force=True)
+        if not self.cfg.async_checkpoints:
+            ckptr.wait_until_finished()
         if is_best:
             best = os.path.join(self.cfg.output_dir, "best")
             if os.path.islink(best):
                 os.unlink(best)
             os.symlink(path, best)
+        self._gc_checkpoints(current_epoch=epoch)
+
+    def _gc_checkpoints(self, current_epoch: int) -> None:
+        """Keep the newest ``keep_checkpoints`` epoch dirs + the best.
+        Only epochs < current are deleted — their saves are durably
+        committed (orbax serializes async saves)."""
+        keep = self.cfg.keep_checkpoints
+        if keep <= 0:
+            return
+        best = os.path.join(self.cfg.output_dir, "best")
+        best_target = os.path.realpath(best) if os.path.islink(best) else None
+        epochs = []
+        for name in os.listdir(self.cfg.output_dir):
+            if name.startswith("ckpt_ep"):
+                try:
+                    epochs.append(int(name[len("ckpt_ep"):]))
+                except ValueError:
+                    continue
+        for ep in sorted(epochs)[:-keep] if len(epochs) > keep else []:
+            path = os.path.abspath(
+                os.path.join(self.cfg.output_dir, f"ckpt_ep{ep}"))
+            if ep >= current_epoch or path == best_target:
+                continue
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+
+    def finalize(self) -> None:
+        """Block until any in-flight async checkpoint save commits."""
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
 
     def restore_checkpoint(self, path: str) -> None:
         """Resume weights + optimizer + curriculum

@@ -37,3 +37,34 @@ def test_tpu_default_forward():
     assert out[0].shape == (2, 64, 2)
     # bf16 encoder emits bf16 features; heads cast up for logits
     assert out[5].dtype == jnp.bfloat16  # h1_after from the encoder
+
+
+def test_cli_preset_fidelity():
+    """`train --preset v17_token_rag` must adopt the v17 recipe's run
+    hyperparams (VERDICT round-1 weak item 4), with explicit flags
+    overriding individually."""
+    from rag_snvbert_tpu.cli.main import _resolve_trainer_config, build_parser
+
+    req = ["train", "--train_dataset", "x", "--train_panel", "p",
+           "--refpanel_path", "r", "--freq_path", "f", "--window_path", "w",
+           "--output_path", "o"]
+    parser = build_parser()
+
+    args = parser.parse_args(req + ["--preset", "v17_token_rag"])
+    base = get_preset(args.preset)
+    cfg = _resolve_trainer_config(args, base)
+    assert cfg.rag_mode == "token"
+    assert cfg.batch_size == 16          # run_v17 recipe, not argparse v18
+    assert cfg.max_lr == 5e-5
+    assert cfg.grad_accum_steps == 1
+
+    args = parser.parse_args(req + ["--preset", "v17_token_rag",
+                                    "--lr", "1e-4"])
+    cfg = _resolve_trainer_config(args, get_preset(args.preset))
+    assert cfg.max_lr == 1e-4            # explicit flag wins
+    assert cfg.batch_size == 16          # the rest still preset
+
+    args = parser.parse_args(req)        # no preset -> v18 defaults
+    cfg = _resolve_trainer_config(args, get_preset("v18_embedding_rag"))
+    assert cfg.batch_size == 24 and cfg.max_lr == 7.5e-5
+    assert cfg.grad_accum_steps == 2

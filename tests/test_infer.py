@@ -96,3 +96,58 @@ def test_progressive_rounds_run(setup):
                   ref_pad_haps=64, batch_size=8, use_pallas=False)
     res = imp.impute_progressive(target, rounds=2, fill_fraction=0.5)
     assert (res.imputed_flag == ~keep).all()  # flags reflect original gaps
+
+
+def test_token_mode_imputation(setup):
+    """V17 token-space inference: BERTWithRAG + raw-token retrieval
+    (reference rag_infer_dataset.py:20-390 had three variants; here one
+    Imputer flag)."""
+    from rag_snvbert_tpu.models import BERTWithRAG, init_batch as ib
+
+    b, _, _, _, seq_len = setup
+    dims = 32
+    bert = BERTWithRAG(vocab_size=b.vocab.size, dims=dims, n_layers=1,
+                       attn_heads=4)
+    model = BERTFoundationModel(bert=bert)
+    params = model.init(jax.random.key(1),
+                        ib(1, seq_len, dims, with_rag_emb=False,
+                           with_rag_seg=True))["params"]
+
+    def embed_fn(p, toks, af, deterministic, rngs=None):
+        return model.apply({"params": p}, toks, af, deterministic,
+                           method=model.embed, rngs=rngs)
+
+    rng = np.random.default_rng(5)
+    keep = rng.random(b.train.n_variants) > 0.4
+    target = drop_sites(b.train, keep)
+    imp = Imputer(model, embed_fn, params, b.ref, b.freq,
+                  window_len=seq_len - 10, seq_len=seq_len,
+                  ref_pad_haps=64, batch_size=8, use_pallas=False,
+                  rag_mode="token")
+    res = imp.impute(target)
+    assert res.hap1_prob.shape == (b.ref.n_variants, target.n_samples)
+    np.testing.assert_allclose(res.gt_prob.sum(-1), 1.0, atol=1e-3)
+
+
+def test_persisted_index_roundtrip(setup, tmp_path):
+    """save_window_indexes -> Imputer(index_dir=...) must reproduce the
+    re-encoding path exactly (embedding_rag_infer_dataset.py:164-224)."""
+    b, model, embed_fn, params, seq_len = setup
+    rng = np.random.default_rng(6)
+    keep = rng.random(b.train.n_variants) > 0.4
+    target = drop_sites(b.train, keep)
+
+    kw = dict(window_len=seq_len - 10, seq_len=seq_len, ref_pad_haps=64,
+              batch_size=8, use_pallas=False)
+    builder = Imputer(model, embed_fn, params, b.ref, b.freq, **kw)
+    manifest = builder.save_window_indexes(str(tmp_path), target)
+    assert manifest["windows"] == len(builder.windows)
+
+    direct = builder.impute(target)
+    loader = Imputer(model, embed_fn, params, b.ref, b.freq,
+                     index_dir=str(tmp_path), **kw)
+    loaded = loader.impute(target)
+    np.testing.assert_allclose(loaded.hap1_prob, direct.hap1_prob,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(loaded.gt_prob, direct.gt_prob,
+                               rtol=1e-5, atol=1e-5)

@@ -110,3 +110,51 @@ def test_cli_prepare_build_query(tmp_path, bundle, capsys):
               "--mode", mode] + extra)
         stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert stats["qps"] > 0
+
+
+def test_cli_train_then_infer(tmp_path, bundle, capsys):
+    """End-to-end through the CLI: prepare-data -> train (1 epoch, sample
+    split, tiny model) -> infer -> emitted VCF exists."""
+    from rag_snvbert_tpu.cli.main import main
+
+    ref_vcf = str(tmp_path / "ref.vcf")
+    tr_vcf = str(tmp_path / "train.vcf")
+    panel_p = str(tmp_path / "train.panel")
+    write_simple_vcf(ref_vcf, bundle.ref)
+    write_simple_vcf(tr_vcf, bundle.train)
+    with open(panel_p, "w") as f:
+        f.write("sample\tpop\n")
+        for s, pop in zip(bundle.panel.samples, bundle.panel.pop_list):
+            f.write(f"{s}\t{pop}\n")
+
+    prep = str(tmp_path / "prep")
+    main(["prepare-data", "--vcf", tr_vcf, "--panel", panel_p,
+          "--out", prep, "--window-len", "40",
+          "--split-test-fraction", "0.25"])
+    run_dir = str(tmp_path / "run")
+    main(["train", "--train_dataset", tr_vcf, "--train_panel", panel_p,
+          "--refpanel_path", ref_vcf,
+          "--freq_path", os.path.join(prep, "freq"),
+          "--window_path", os.path.join(prep, "windows.csv"),
+          "--output_path", run_dir, "--epochs", "1",
+          "--train_batch_size", "4", "--val_batch_size", "4",
+          "--warmup_steps", "5", "--grad_accum_steps", "1",
+          "--dims", "32", "--layers", "1", "--attn-heads", "4",
+          "--seq-len", "64",
+          "--train-samples", os.path.join(prep, "train_samples.npy"),
+          "--val-samples", os.path.join(prep, "test_samples.npy")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "best" in out
+    assert os.path.isdir(os.path.join(run_dir, "ckpt_ep0"))
+
+    out_vcf = str(tmp_path / "imputed.vcf")
+    main(["infer", "--target", tr_vcf, "--refpanel_path", ref_vcf,
+          "--freq_path", os.path.join(prep, "freq"),
+          "--model_path", os.path.join(run_dir, "ckpt_ep0"),
+          "--output_vcf", out_vcf, "--panel", panel_p,
+          "--dims", "32", "--layers", "1", "--attn-heads", "4",
+          "--seq-len", "64", "--infer_window_len", "40",
+          "--batch_size", "4"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["sites"] == bundle.ref.n_variants
+    assert os.path.exists(out_vcf)

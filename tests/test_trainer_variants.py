@@ -71,3 +71,73 @@ def test_prefetch_off_matches_on(tmp_path):
     r_off = t_off.fit()
     assert abs(r_on["history"][0]["train_loss"]
                - r_off["history"][0]["train_loss"]) < 1e-3
+
+
+def test_adaptive_mask_schedule(tmp_path):
+    """Continuous AdaptiveMaskScheduler (reference pretrain.py:21-36) as a
+    TrainerConfig option."""
+    from rag_snvbert_tpu.data import masking
+    from rag_snvbert_tpu.models import BERTWithEmbeddingRAG
+
+    b, ds = make_ds()
+    bert = BERTWithEmbeddingRAG(vocab_size=b.vocab.size, dims=32,
+                                n_layers=1, attn_heads=4)
+    model = BERTFoundationModel(bert=bert)
+    cfg = TrainerConfig(epochs=2, batch_size=8, warmup_steps=5,
+                        ref_pad_haps=32, mask_schedule="cosine",
+                        output_dir=str(tmp_path), log_freq=1000)
+    t = Trainer(model, embed_fn_for(model), ds, cfg)
+    res = t.fit()
+    assert len(res["history"]) == 2
+    assert all(np.isfinite(r["train_loss"]) for r in res["history"])
+    # the schedule itself ramps monotonically
+    rates = [masking.adaptive_mask_ratio(e, 10) for e in range(10)]
+    assert rates == sorted(rates) and rates[0] == 0.15 and rates[-1] == 0.8
+
+
+def test_single_cohort_sample_split(tmp_path):
+    """val_sample_ids without a val_ds: validation runs on the training
+    cohort restricted to the held-out samples (scripts/split_data.py)."""
+    from rag_snvbert_tpu.models import BERTWithEmbeddingRAG
+
+    b, ds = make_ds()
+    bert = BERTWithEmbeddingRAG(vocab_size=b.vocab.size, dims=32,
+                                n_layers=1, attn_heads=4)
+    model = BERTFoundationModel(bert=bert)
+    cfg = TrainerConfig(epochs=1, batch_size=4, val_batch_size=4,
+                        warmup_steps=5, ref_pad_haps=32,
+                        output_dir=str(tmp_path), log_freq=1000)
+    tr_ids, va_ids = np.arange(6), np.arange(6, 8)
+    t = Trainer(model, embed_fn_for(model), ds, cfg,
+                train_sample_ids=tr_ids, val_sample_ids=va_ids)
+    assert t.has_validation
+    res = t.fit()
+    row = res["history"][0]
+    assert "val_loss" in row and np.isfinite(row["val_loss"])
+    # 6 train samples @ bs 4 -> 2 batches per window x 2 windows
+    assert row["train_n_batches"] == 4
+    assert row["val_n_batches"] == 2
+
+
+def test_checkpoint_gc_keeps_newest_and_best(tmp_path):
+    """keep_checkpoints bounds disk usage; best symlink target survives."""
+    import os
+
+    from rag_snvbert_tpu.models import BERTWithEmbeddingRAG
+
+    b, ds = make_ds()
+    bert = BERTWithEmbeddingRAG(vocab_size=b.vocab.size, dims=32,
+                                n_layers=1, attn_heads=4)
+    model = BERTFoundationModel(bert=bert)
+    cfg = TrainerConfig(epochs=3, batch_size=8, warmup_steps=5,
+                        ref_pad_haps=32, keep_checkpoints=1,
+                        output_dir=str(tmp_path), log_freq=1000)
+    t = Trainer(model, embed_fn_for(model), ds, cfg)
+    t.fit()
+    kept = sorted(n for n in os.listdir(tmp_path) if n.startswith("ckpt_ep"))
+    best = os.path.realpath(os.path.join(tmp_path, "best")) \
+        if os.path.islink(os.path.join(tmp_path, "best")) else None
+    assert "ckpt_ep2" in kept            # newest always kept
+    assert len(kept) <= 2                # newest + (possibly) best
+    if best is not None:
+        assert os.path.exists(best)
