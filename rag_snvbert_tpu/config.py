@@ -30,6 +30,7 @@ class ModelConfig:
     remat: bool | str = False     # True | "save_most" | "save_ffn" | "attention"
     bf16: bool = False            # bf16 compute dtype for the encoder
     dropout_broadcast: bool = False  # sequence-shared residual dropout masks
+    fused_qkv: bool = False       # one [D,3D] QKV projection (changes param tree)
     attn_dropout: float | None = None  # 0 disables attention-prob dropout
     scan_layers: bool = False     # lax.scan over encoder layers (fast compile)
     flash_attention: bool = False
@@ -70,7 +71,8 @@ class RunConfig:
                    attn_dropout=m.attn_dropout, scan_layers=m.scan_layers,
                    flash_attention=m.flash_attention,
                    score_dtype=jnp.bfloat16 if m.score_bf16 else jnp.float32,
-                   dropout_broadcast=m.dropout_broadcast)
+                   dropout_broadcast=m.dropout_broadcast,
+                   fused_qkv=m.fused_qkv)
         return BERTFoundationModel(bert=bert,
                                    compat_double_softmax=m.compat_double_softmax)
 
@@ -104,8 +106,9 @@ PRESETS: dict[str, RunConfig] = {
     # score bytes are B*H*L^2, FLOPs are not) + bf16 scores (round 1:
     # encoder fwd+bwd 522 -> 168 ms).  Round 2: dropping remat entirely
     # (fits HBM only with scan_layers=False — scanned no-remat overflows)
-    # + sequence-broadcast residual-dropout masks takes the full train
-    # step 213 -> 165.6 ms (B=24).  Same parameter count as 12 heads.
+    # + sequence-broadcast residual-dropout masks + stacked dual-hap
+    # retrieval takes the full train step 213 -> 161.3 ms (B=24).  Same
+    # parameter count as 12 heads.
     "tpu_default": RunConfig(
         model=ModelConfig(dims=384, n_layers=12, attn_heads=3,
                           pre_ln=True, remat=False, bf16=True,

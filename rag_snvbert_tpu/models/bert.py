@@ -37,6 +37,7 @@ class BERT(nn.Module):
     flash_attention: bool = False    # fused Pallas attention kernel
     score_dtype: jnp.dtype = jnp.float32
     dropout_broadcast: bool = False  # sequence-shared residual-dropout masks
+    fused_qkv: bool = False          # one [D,3D] QKV projection
 
     def setup(self):
         self.embedding = BERTEmbedding(self.vocab_size, self.dims,
@@ -49,7 +50,8 @@ class BERT(nn.Module):
                                flash=self.flash_attention,
                                score_dtype=self.score_dtype,
                                scan=self.scan_layers,
-                               dropout_broadcast=self.dropout_broadcast)
+                               dropout_broadcast=self.dropout_broadcast,
+                               fused_qkv=self.fused_qkv)
 
     def embed(self, tokens, af, deterministic=True):
         """Embedding-layer forward — the retrieval encoder. Exposed so the
@@ -129,10 +131,15 @@ class BERTWithEmbeddingRAG(BERT):
         pos, af = x["pos"], x["af"]
         af_p = x.get("af_p", af)
 
-        toks = jnp.concatenate([x["hap_1"], x["hap_2"]], axis=0)
         af2 = jnp.concatenate([af, af], axis=0)
         pos2 = jnp.concatenate([pos, pos], axis=0)
-        origin = self.embed(toks, af2, deterministic)  # [2B, L, D]
+        if "query_emb" in x:
+            # Retrieval already embedded the stacked query tokens
+            # (train/retrieval.py hands it over) — skip the duplicate pass.
+            origin = x["query_emb"]
+        else:
+            toks = jnp.concatenate([x["hap_1"], x["hap_2"]], axis=0)
+            origin = self.embed(toks, af2, deterministic)  # [2B, L, D]
 
         if "rag_emb_h1" in x:
             # K>1 retrieved refs are averaged before fusion

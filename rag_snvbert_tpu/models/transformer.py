@@ -69,6 +69,9 @@ class MultiHeadAttention(nn.Module):
     # the cheap-to-store FFN activations are kept).
     score_dtype: jnp.dtype = jnp.float32  # XLA-path score matrix dtype;
     # bf16 halves the dominant HBM traffic term at a small numeric cost.
+    fused_qkv: bool = False    # one [D, 3D] projection instead of three
+    # [D, D] matmuls — fewer, fatter MXU dispatches (changes the param
+    # tree: 'qkv' kernel instead of query/key/value).
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None,
@@ -78,13 +81,18 @@ class MultiHeadAttention(nn.Module):
         hd = d // self.heads
         attn_rate = self.dropout if self.attn_dropout is None else self.attn_dropout
 
-        def proj(name):
-            return nn.Dense(d, name=name,
-                            dtype=self.dtype)(x).reshape(b, l, self.heads, hd)
+        if self.fused_qkv:
+            qkv = nn.Dense(3 * d, name="qkv", dtype=self.dtype)(x)
+            qkv = qkv.reshape(b, l, 3, self.heads, hd)
+            q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        else:
+            def proj(name):
+                return nn.Dense(d, name=name, dtype=self.dtype)(x).reshape(
+                    b, l, self.heads, hd)
 
-        q = proj("query").transpose(0, 2, 1, 3)  # [B, H, L, hd]
-        k = proj("key").transpose(0, 2, 1, 3)
-        v = proj("value").transpose(0, 2, 1, 3)
+            q = proj("query").transpose(0, 2, 1, 3)  # [B, H, L, hd]
+            k = proj("key").transpose(0, 2, 1, 3)
+            v = proj("value").transpose(0, 2, 1, 3)
 
         if self.flash and mask is None and attn_rate == 0.0:
             out = _flash_attention(q, k, v, sm_scale=1.0 / float(hd) ** 0.5)
@@ -154,6 +162,7 @@ class TransformerBlock(nn.Module):
     # the sequence dim ([B,1,D] instead of [B,L,D]): ~1000x fewer random
     # bits per mask at L~1030 — an opt-in perf knob with a (mild) semantic
     # change from the reference's per-position masks.
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None,
@@ -166,6 +175,7 @@ class TransformerBlock(nn.Module):
                         attn_dropout=self.attn_dropout,
                         flash=self.flash,
                         score_dtype=self.score_dtype,
+                        fused_qkv=self.fused_qkv,
                         name="attention")
         ffn = FeedForward(self.dims, self.feed_forward_hidden, self.dropout,
                           dtype=self.dtype,
@@ -232,6 +242,7 @@ class Encoder(nn.Module):
     # instead of n_layers inlined copies — ~10x smaller HLO / compile time.
     # Parameters gain a leading [n_layers] axis under this layout.
     dropout_broadcast: bool = False  # see TransformerBlock.dropout_broadcast
+    fused_qkv: bool = False          # see MultiHeadAttention.fused_qkv
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None,
@@ -270,6 +281,7 @@ class Encoder(nn.Module):
                             self.dropout, self.pre_ln, self.dtype,
                             self.attn_dropout, self.flash, self.score_dtype,
                             attn_remat, self.dropout_broadcast,
+                            self.fused_qkv,
                             name="blocks")(x, mask, deterministic)
             return x
         for i in range(self.n_layers):
@@ -277,5 +289,6 @@ class Encoder(nn.Module):
                           self.dropout, self.pre_ln, self.dtype,
                           self.attn_dropout, self.flash, self.score_dtype,
                           attn_remat, self.dropout_broadcast,
+                          self.fused_qkv,
                           name=f"block_{i}")(x, mask, deterministic)
         return x

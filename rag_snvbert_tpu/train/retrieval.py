@@ -206,4 +206,8 @@ def retrieve(embed_fn: Callable, params: Any, batch: dict,
     out = dict(batch)
     out["rag_emb_h1"] = rag1.reshape(b, k, l, d)
     out["rag_emb_h2"] = rag2.reshape(b, k, l, d)
+    # The model's forward would re-embed the same [2B, L] tokens (so does
+    # the reference, embedding_rag_dataset.py:385 + bert.py:163-164); hand
+    # the embedding over instead — gradient flows through it exactly once.
+    out["query_emb"] = q
     return out

@@ -152,4 +152,5 @@ def retrieve_sharded(embed_fn: Callable, params: Any, batch: dict,
     out = dict(batch)
     out["rag_emb_h1"] = rag1.reshape(b, k, l, d_model)
     out["rag_emb_h2"] = rag2.reshape(b, k, l, d_model)
+    out["query_emb"] = q   # reused by the model forward (one embed total)
     return out
