@@ -309,16 +309,12 @@ def cmd_train(args):
 # infer
 # ---------------------------------------------------------------------------
 
-def cmd_infer(args):
+def _load_infer_model(args):
+    """Build the model from preset/flags and restore checkpoint params
+    (shared by the infer and serve subcommands).  Returns
+    (model, embed_fn, params, rag_mode)."""
     import jax
-    from ..infer.imputer import Imputer
-    from ..io.freq import FreqTable
-    from ..io.vcf import load_vcf_or_hdf5
     from ..models import BERTFoundationModel, BERTWithEmbeddingRAG
-
-    ref_vcf = load_vcf_or_hdf5(args.refpanel_path)
-    target = load_vcf_or_hdf5(args.target)
-    freq = FreqTable.load(args.freq_path)
 
     if args.panel:
         from ..io.panel import PanelData
@@ -376,6 +372,19 @@ def cmd_infer(args):
         return model.apply({"params": p}, toks, af, deterministic,
                            method=model.embed, rngs=rngs)
 
+    return model, embed_fn, params, rag_mode
+
+
+def cmd_infer(args):
+    from ..infer.imputer import Imputer
+    from ..io.freq import FreqTable
+    from ..io.vcf import load_vcf_or_hdf5
+
+    ref_vcf = load_vcf_or_hdf5(args.refpanel_path)
+    target = load_vcf_or_hdf5(args.target)
+    freq = FreqTable.load(args.freq_path)
+    model, embed_fn, params, rag_mode = _load_infer_model(args)
+
     imp = Imputer(model, embed_fn, params, ref_vcf, freq,
                   window_len=args.infer_window_len, seq_len=args.seq_len,
                   rag_k=args.rag_k if args.rag_k is not None else 1,
@@ -394,6 +403,34 @@ def cmd_infer(args):
     print(json.dumps({"sites": int(res.pos.shape[0]),
                       "samples": len(target.samples),
                       "imputed_sites": int(res.imputed_flag.sum())}))
+
+
+# ---------------------------------------------------------------------------
+# serve
+# ---------------------------------------------------------------------------
+
+def cmd_serve(args):
+    """Persistent imputation service (infer/serve.py): model + reference
+    panel load once, then JSON-lines requests on stdin ->
+    responses on stdout.  Request: {"target": path, "output_vcf": path,
+    "npy_prefix"?: path, "progressive_rounds"?: int}."""
+    from ..infer.serve import ImputationService
+    from ..io.freq import FreqTable
+    from ..io.vcf import load_vcf_or_hdf5
+
+    ref_vcf = load_vcf_or_hdf5(args.refpanel_path)
+    freq = FreqTable.load(args.freq_path)
+    model, embed_fn, params, rag_mode = _load_infer_model(args)
+    svc = ImputationService.create(
+        model, embed_fn, params, ref_vcf, freq,
+        window_len=args.infer_window_len, seq_len=args.seq_len,
+        rag_k=args.rag_k if args.rag_k is not None else 1,
+        batch_size=args.batch_size, rag_mode=rag_mode,
+        index_dir=args.index_dir)
+    print(json.dumps({"ready": True, "ref_sites": ref_vcf.n_variants}),
+          flush=True)
+    n = svc.serve_lines(sys.stdin, sys.stdout)
+    print(json.dumps({"served": n}), file=sys.stderr)
 
 
 # ---------------------------------------------------------------------------
@@ -520,41 +557,49 @@ def build_parser() -> argparse.ArgumentParser:
                     default="level")
     pt.set_defaults(fn=cmd_train)
 
+    def add_infer_model_args(p):
+        p.add_argument("--refpanel_path", required=True)
+        p.add_argument("--freq_path", required=True)
+        p.add_argument("--model_path", required=True)
+        p.add_argument("--vocab_size", type=int, default=12,
+                       help="used only when --panel is not given")
+        p.add_argument("--panel", default=None,
+                       help="panel file to derive the vocab size from")
+        _add_model_args(p)
+        p.add_argument("--infer_window_len", type=int, default=1020)
+        p.add_argument("--preset", default=None)
+        p.add_argument("--pre_ln", action="store_true")
+        p.add_argument("--scan_layers", action="store_true")
+        p.add_argument("--remat", action="store_true")
+        p.add_argument("--bf16", action="store_true")
+        p.add_argument("--score_bf16", action="store_true")
+        p.add_argument("--no_attn_dropout", action="store_true")
+        p.add_argument("--batch_size", type=int, default=32)
+        p.add_argument("--rag-mode", dest="rag_mode", default=None,
+                       choices=["embedding", "token", "none"],
+                       help="retrieval mode; defaults to the preset's (or "
+                            "embedding) — 'token' serves v17_token_rag "
+                            "checkpoints")
+        p.add_argument("--index-dir", dest="index_dir", default=None,
+                       help="load persisted per-window embedding indexes "
+                            "(written by --save-index-dir) instead of "
+                            "re-encoding the reference panel")
+
     pi = sub.add_parser("infer")
     pi.add_argument("--target", required=True)
-    pi.add_argument("--refpanel_path", required=True)
-    pi.add_argument("--freq_path", required=True)
-    pi.add_argument("--model_path", required=True)
     pi.add_argument("--output_vcf", required=True)
     pi.add_argument("--npy_prefix", default=None)
-    pi.add_argument("--vocab_size", type=int, default=12,
-                    help="used only when --panel is not given")
-    pi.add_argument("--panel", default=None,
-                    help="panel file to derive the vocab size from")
-    _add_model_args(pi)
-    pi.add_argument("--infer_window_len", type=int, default=1020)
-    pi.add_argument("--preset", default=None)
-    pi.add_argument("--pre_ln", action="store_true")
-    pi.add_argument("--scan_layers", action="store_true")
-    pi.add_argument("--remat", action="store_true")
-    pi.add_argument("--bf16", action="store_true")
-    pi.add_argument("--score_bf16", action="store_true")
-    pi.add_argument("--no_attn_dropout", action="store_true")
-    pi.add_argument("--batch_size", type=int, default=32)
+    add_infer_model_args(pi)
     pi.add_argument("--progressive_rounds", type=int, default=1)
-    pi.add_argument("--rag-mode", dest="rag_mode", default=None,
-                    choices=["embedding", "token", "none"],
-                    help="retrieval mode; defaults to the preset's (or "
-                         "embedding) — 'token' serves v17_token_rag "
-                         "checkpoints")
-    pi.add_argument("--index-dir", dest="index_dir", default=None,
-                    help="load persisted per-window embedding indexes "
-                         "(written by --save-index-dir) instead of "
-                         "re-encoding the reference panel")
     pi.add_argument("--save-index-dir", dest="save_index_dir", default=None,
                     help="persist per-window embedding indexes for this "
                          "target's mask pattern, then impute")
     pi.set_defaults(fn=cmd_infer)
+
+    ps = sub.add_parser("serve", help="persistent imputation service "
+                        "(JSON-lines requests on stdin)")
+    add_infer_model_args(ps)
+    ps.set_defaults(fn=cmd_serve)
 
     pe = sub.add_parser("emit-vcf")
     pe.add_argument("--npy_prefix", required=True)

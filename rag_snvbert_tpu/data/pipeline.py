@@ -202,7 +202,8 @@ class WindowDataset:
 
     def epoch_batches(self, batch_size: int, epoch: int, level: int,
                       shuffle: bool = True, seed: int | None = None,
-                      sample_ids: np.ndarray | None = None
+                      sample_ids: np.ndarray | None = None,
+                      host_id: int = 0, n_hosts: int = 1
                       ) -> Iterator[tuple[WindowMeta, dict]]:
         """Yield (window_meta, batch) in window-major order.
 
@@ -210,7 +211,17 @@ class WindowDataset:
         (sampler.py set_epoch semantics); the trailing partial batch is
         padded to ``batch_size``.  Mask seed = epoch for train (val passes
         its fixed seed explicitly).
+
+        Multi-host input (``n_hosts`` > 1): every host iterates the same
+        deterministic global schedule but assembles only its contiguous
+        ``batch_size / n_hosts`` slice of each global batch — the
+        process-local shard for jax.make_array_from_process_local_data
+        (parallel/multihost.py).  All hosts see the same number of steps
+        (trailing batches are padded globally, padded rows loss-masked),
+        so collectives never desynchronize.
         """
+        assert batch_size % n_hosts == 0, "batch_size must divide n_hosts"
+        per = batch_size // n_hosts
         rng = np.random.default_rng(epoch if seed is None else seed)
         mask_seed = epoch if seed is None else seed
         win_order = rng.permutation(self.n_windows) if shuffle else \
@@ -221,6 +232,21 @@ class WindowDataset:
             meta = self.windows[wi]
             ids = rng.permutation(base_ids) if shuffle else base_ids
             for i in range(0, len(ids), batch_size):
-                chunk = ids[i : i + batch_size]
-                yield meta, self.make_batch(meta, chunk, level, mask_seed,
-                                            pad_to=batch_size)
+                gchunk = ids[i : i + batch_size]
+                olen = len(gchunk)
+                if n_hosts == 1:
+                    yield meta, self.make_batch(meta, gchunk, level,
+                                                mask_seed,
+                                                pad_to=batch_size)
+                    continue
+                if olen < batch_size:  # same global padding on every host
+                    gchunk = np.concatenate(
+                        [gchunk, np.repeat(gchunk[:1], batch_size - olen)])
+                lo = host_id * per
+                batch = self.make_batch(meta, gchunk[lo : lo + per], level,
+                                        mask_seed)
+                # rows that are global padding contribute no loss/metrics
+                pad_rows = np.arange(lo, lo + per) >= olen
+                if pad_rows.any():
+                    batch["mask"][pad_rows] = 0
+                yield meta, batch

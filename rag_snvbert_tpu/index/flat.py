@@ -186,9 +186,22 @@ class HammingIndex:
         return cls(packed=packed,
                    valid=jnp.ones(packed.shape[0], dtype=bool))
 
-    def search(self, query_bits: jax.Array, k: int
+    # Above this [B, N, words] XOR-tensor size the streaming scan takes
+    # over (exact, bounded memory — chromosome-scale panels would need
+    # hundreds of GB on the direct path).
+    _STREAM_BYTES = 1 << 30
+
+    def search(self, query_bits: jax.Array, k: int,
+               streaming: bool | None = None, chunk: int = 8192
                ) -> tuple[jax.Array, jax.Array]:
         qp = l2_ref.pack_bits(jnp.asarray(query_bits))
+        if streaming is None:
+            streaming = (4 * qp.shape[0] * self.packed.shape[0]
+                         * self.packed.shape[1] > self._STREAM_BYTES)
+        if streaming:
+            return l2_ref.hamming_topk_streaming(qp, self.packed, k,
+                                                 valid=self.valid,
+                                                 chunk=chunk)
         d = l2_ref.hamming_distances(qp, self.packed)
         d = jnp.where(self.valid[None, :], d, jnp.iinfo(jnp.int32).max)
         return l2_ref.topk_smallest(d, k)

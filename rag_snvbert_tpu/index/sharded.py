@@ -38,13 +38,8 @@ def _local_topk(queries, vectors, norms, k, use_pallas):
 
 def _merge_candidates(cat_vals, cat_gids, k):
     """Exact top-k over concatenated candidates with the same ascending-id
-    tie-break as the local kernels: sort by (value, id) via a stable
-    two-key argsort."""
-    order = jnp.argsort(cat_gids, axis=1, stable=True)
-    v1 = jnp.take_along_axis(cat_vals, order, axis=1)
-    g1 = jnp.take_along_axis(cat_gids, order, axis=1)
-    neg_vals, pos = jax.lax.top_k(-v1, k)
-    return -neg_vals, jnp.take_along_axis(g1, pos, axis=1)
+    tie-break as the local kernels (ops/l2_ref.merge_topk_smallest)."""
+    return l2_ref.merge_topk_smallest(cat_vals, cat_gids, k)
 
 
 def _ring_merge(vals, gids, k: int, axis: str):

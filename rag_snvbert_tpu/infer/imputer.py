@@ -101,6 +101,9 @@ class Imputer:
         self.rag_k = rag_k
         self.ref_pad_haps = ref_pad_haps
         self.batch_size = batch_size
+        # One jit wrapper for the imputer's lifetime: re-wrapping per
+        # impute() call would retrace every request/progressive round.
+        self._fwd = jax.jit(self._forward)
         if use_pallas is None:
             leaf = jax.tree.leaves(params)[0]
             use_pallas = getattr(getattr(leaf, "device", None),
@@ -225,7 +228,7 @@ class Imputer:
         ``pop``: population class for the af_p/ref/het/hom features
         (defaults to the global pool, matching inference without panel
         info)."""
-        fwd = jax.jit(self._forward)
+        fwd = self._fwd
         n_sites = self.ref_vcf.n_variants
         n_samp = target.n_samples
         hap1 = np.zeros((n_sites, n_samp), np.float32)

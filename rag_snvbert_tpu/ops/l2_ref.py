@@ -53,6 +53,18 @@ def topk_smallest(dists: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return -neg_vals, ids
 
 
+def merge_topk_smallest(cat_vals: jax.Array, cat_ids: jax.Array,
+                        k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k over concatenated (vals, ids) candidate sets with the
+    ascending-id tie-break: stable sort by id, then top_k on negated
+    values (used by the sharded ICI merge and the streaming searches)."""
+    order = jnp.argsort(cat_ids, axis=1, stable=True)
+    v1 = jnp.take_along_axis(cat_vals, order, axis=1)
+    g1 = jnp.take_along_axis(cat_ids, order, axis=1)
+    neg_vals, pos = jax.lax.top_k(-v1, k)
+    return -neg_vals, jnp.take_along_axis(g1, pos, axis=1)
+
+
 def l2_topk(queries: jax.Array, refs: jax.Array, k: int,
             r_norms: jax.Array | None = None) -> tuple[jax.Array, jax.Array]:
     """Exact k-NN by squared L2. Reference implementation (oracle)."""
@@ -114,3 +126,43 @@ def hamming_topk(q_packed: jax.Array, r_packed: jax.Array,
                  k: int) -> tuple[jax.Array, jax.Array]:
     d = hamming_distances(q_packed, r_packed)
     return topk_smallest(d, k)
+
+
+def hamming_topk_streaming(q_packed: jax.Array, r_packed: jax.Array, k: int,
+                           valid: jax.Array | None = None,
+                           chunk: int = 8192
+                           ) -> tuple[jax.Array, jax.Array]:
+    """Exact Hamming k-NN without materializing [B, N, words]: scan the
+    reference rows in ``chunk``-sized blocks, keeping a running top-k
+    merged with merge_topk_smallest (chromosome-scale panels would
+    otherwise need hundreds of GB — the [B, N, W] XOR tensor of the direct
+    path).  Same results and tie-break as hamming_topk."""
+    b = q_packed.shape[0]
+    n, w = r_packed.shape
+    sentinel = jnp.iinfo(jnp.int32).max
+    chunk = min(chunk, n)
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    rp = jnp.pad(r_packed, ((0, n_pad - n), (0, 0)))
+    vp = jnp.pad(valid if valid is not None else jnp.ones(n, bool),
+                 (0, n_pad - n), constant_values=False)
+    rp = rp.reshape(n_chunks, chunk, w)
+    vp = vp.reshape(n_chunks, chunk)
+    bases = (jnp.arange(n_chunks) * chunk).astype(jnp.int32)
+
+    init = (jnp.full((b, k), sentinel, jnp.int32),
+            jnp.zeros((b, k), jnp.int32))
+
+    def body(carry, xs):
+        best_v, best_i = carry
+        r_c, v_c, base = xs
+        d = hamming_distances(q_packed, r_c)
+        d = jnp.where(v_c[None, :], d, sentinel)
+        v, i = topk_smallest(d, min(k, chunk))
+        bv, bi = merge_topk_smallest(
+            jnp.concatenate([best_v, v], axis=1),
+            jnp.concatenate([best_i, i + base], axis=1), k)
+        return (bv, bi), None
+
+    (bv, bi), _ = jax.lax.scan(body, init, (rp, vp, bases))
+    return bv, bi

@@ -104,3 +104,54 @@ def test_partial_position_overlap_filters_sites():
         full = meta.site_slice.stop - meta.site_slice.start
         assert meta.n_sites < full
         assert (ref2.pos[meta.ref_rows] == meta.positions).all()
+
+
+def test_multihost_batch_slices_reassemble():
+    """Host-sharded epoch_batches: per-host slices concatenate to the
+    single-host global batch at every step (incl. padded trailing),
+    with global-padding rows loss-masked."""
+    from rag_snvbert_tpu.data.pipeline import WindowDataset
+    from rag_snvbert_tpu.io.synthetic import make_bundle
+
+    b = make_bundle(n_train_samples=10, n_ref_samples=8, n_sites=96,
+                    n_windows=2, seed=4)
+    ds = WindowDataset(b.train, b.panel, b.freq, b.window.window_info,
+                       b.vocab, ref_vcf=b.ref, seq_len=80)
+    bs = 6  # n_samples likely not divisible -> trailing pad exercised
+    full = list(ds.epoch_batches(bs, epoch=1, level=0))
+    h0 = list(ds.epoch_batches(bs, epoch=1, level=0, host_id=0, n_hosts=2))
+    h1 = list(ds.epoch_batches(bs, epoch=1, level=0, host_id=1, n_hosts=2))
+    assert len(full) == len(h0) == len(h1)
+    for (m, fb), (_, b0), (_, b1) in zip(full, h0, h1):
+        for k in fb:
+            merged = np.concatenate([b0[k], b1[k]], axis=0)
+            if k == "mask":
+                # global-padding rows are mask-zeroed in both layouts
+                np.testing.assert_array_equal(merged, fb[k])
+            else:
+                np.testing.assert_array_equal(merged[: bs], fb[k][: bs])
+
+
+def test_multihost_global_batch_on_mesh():
+    """parallel.multihost.global_batch lifts local shards onto the mesh
+    (single-process degenerate case: local shard = full batch)."""
+    import jax
+
+    from rag_snvbert_tpu.data.pipeline import WindowDataset
+    from rag_snvbert_tpu.io.synthetic import make_bundle
+    from rag_snvbert_tpu.parallel.mesh import make_mesh
+    from rag_snvbert_tpu.parallel.multihost import global_batch
+
+    devs = jax.devices("cpu")
+    if len(devs) < 4:
+        import pytest
+        pytest.skip("need 4 cpu devices")
+    mesh = make_mesh(n_data=4, n_index=1, devices=devs[:4])
+    b = make_bundle(n_train_samples=8, n_ref_samples=8, n_sites=96,
+                    n_windows=2, seed=4)
+    ds = WindowDataset(b.train, b.panel, b.freq, b.window.window_info,
+                       b.vocab, ref_vcf=b.ref, seq_len=80)
+    meta, batch = next(ds.epoch_batches(8, epoch=0, level=0))
+    gb = global_batch(mesh, batch)
+    assert gb["hap_1"].shape == batch["hap_1"].shape
+    np.testing.assert_array_equal(np.asarray(gb["hap_1"]), batch["hap_1"])

@@ -101,3 +101,21 @@ def test_pack_bits_roundtrip_popcount(rng):
     import jax
     total = np.asarray(jax.lax.population_count(packed)).sum()
     assert total == x.sum()
+
+
+def test_hamming_streaming_matches_direct(rng):
+    """Streaming Hamming scan (bounded memory) must reproduce the direct
+    [B, N, words] path exactly, including uneven chunking and tombstones."""
+    import jax.numpy as jnp
+
+    from rag_snvbert_tpu.index.flat import HammingIndex
+
+    bits = rng.integers(0, 2, (1003, 130)).astype(np.int8)  # 1003 % 256 != 0
+    q = rng.integers(0, 2, (9, 130)).astype(np.int8)
+    idx = HammingIndex.build(bits)
+    idx = idx.replace(valid=idx.valid.at[50:60].set(False))
+    dv, di = idx.search(jnp.asarray(q), k=7, streaming=False)
+    sv, si = idx.search(jnp.asarray(q), k=7, streaming=True, chunk=256)
+    np.testing.assert_array_equal(np.asarray(dv), np.asarray(sv))
+    np.testing.assert_array_equal(np.asarray(di), np.asarray(si))
+    assert not np.isin(np.asarray(si), np.arange(50, 60)).any()

@@ -151,3 +151,42 @@ def test_persisted_index_roundtrip(setup, tmp_path):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(loaded.gt_prob, direct.gt_prob,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_imputation_service_serves_requests(setup, tmp_path):
+    """Persistent service: resident model serves multiple JSON-line
+    requests; errors are reported in-band without killing the loop."""
+    import io as _io
+    import json
+
+    from rag_snvbert_tpu.infer.serve import ImputationService
+    from tests.test_io_and_cli import write_simple_vcf
+
+    b, model, embed_fn, params, seq_len = setup
+    rng = np.random.default_rng(9)
+    keep = rng.random(b.train.n_variants) > 0.4
+    target = drop_sites(b.train, keep)
+    tgt_path = str(tmp_path / "target.vcf")
+    write_simple_vcf(tgt_path, target)
+
+    svc = ImputationService.create(
+        model, embed_fn, params, b.ref, b.freq,
+        window_len=seq_len - 10, seq_len=seq_len, ref_pad_haps=64,
+        batch_size=8, use_pallas=False)
+    out1 = str(tmp_path / "out1.vcf")
+    out2 = str(tmp_path / "out2.vcf")
+    reqs = "\n".join([
+        json.dumps({"target": tgt_path, "output_vcf": out1}),
+        json.dumps({"target": "/nonexistent.vcf", "output_vcf": out2}),
+        json.dumps({"target": tgt_path, "output_vcf": out2,
+                    "progressive_rounds": 2}),
+    ]) + "\n"
+    out = _io.StringIO()
+    n = svc.serve_lines(_io.StringIO(reqs), out)
+    assert n == 3
+    resps = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert resps[0]["ok"] and resps[2]["ok"]
+    assert not resps[1]["ok"] and "error" in resps[1]
+    import os
+    assert os.path.exists(out1) and os.path.exists(out2)
+    assert resps[0]["sites"] == b.ref.n_variants
