@@ -94,14 +94,21 @@ def main():
     fetch_scalar(qs)
 
     _stamp("data generated")
-    # index build (cast + norms) — the rebuild-time metric
-    build = jax.jit(lambda r: FlatL2Index.build(r, dtype=jnp.bfloat16))
+    # index build (cast + norms) — the rebuild-time metric.  Genotypes are
+    # binary, so the natural device storage is int8: half the HBM of bf16
+    # and the MXU's double-rate integer path with EXACT int32 distances.
+    # A bf16 index is also built so the XLA/approx comparisons run on
+    # their own best-case storage (best-vs-best, no cast handicap).
+    build8 = jax.jit(lambda r: FlatL2Index.build(r, dtype=jnp.int8))
+    build16 = jax.jit(lambda r: FlatL2Index.build(r, dtype=jnp.bfloat16))
     t0 = time.time()
-    idx = build(refs_dev)
+    idx = build8(refs_dev)
     fetch_scalar(idx.norms)
     build_s = time.time() - t0
-    r = steady_state_ms(lambda: build(refs_dev), iters_lo=1, iters_hi=3)
+    r = steady_state_ms(lambda: build8(refs_dev), iters_lo=1, iters_hi=3)
     build_steady_s = r["per_iter_ms"] / 1e3
+    idx16 = build16(refs_dev)
+    fetch_scalar(idx16.norms)
 
     _stamp("index built")
     t0 = time.time()
@@ -136,10 +143,12 @@ def main():
     def mxu_pct(qps):
         return round(100 * qps * 2 * n * d / peak_flops, 1)
 
-    args = (idx.vectors, idx.norms, qs)
-    tpu_qps = qps_of(make_many(), *args)              # auto: fused kernel
-    xla_qps = qps_of(make_many(use_pallas=False), *args)
-    approx_qps = qps_of(make_many(approx=True), *args)
+    tpu_qps = qps_of(make_many(), idx.vectors, idx.norms, qs)  # int8 kernel
+    kernel16_qps = qps_of(make_many(), idx16.vectors, idx16.norms, qs)
+    xla_qps = qps_of(make_many(use_pallas=False),
+                     idx16.vectors, idx16.norms, qs)
+    approx_qps = qps_of(make_many(approx=True),
+                        idx16.vectors, idx16.norms, qs)
     tpu_dt = batch / tpu_qps
 
     _stamp("qps paths done")
@@ -190,10 +199,10 @@ def main():
     result = {
         "metric": "l2_query_qps_chip",
         "value": round(tpu_qps, 1),
-        "unit": ("queries/s, exact (331x2008 genotype index, d=2040, k=10, "
-                 "16 distinct 1024-query batches; baseline = all-core "
-                 "numpy/OpenBLAS exact search at N/8, scaled 8x linearly "
-                 "in N)"),
+        "unit": ("queries/s, exact int8-storage fused kernel (331x2008 "
+                 "genotype index, d=2040, k=10, 16 distinct 1024-query "
+                 "batches; baseline = all-core numpy/OpenBLAS exact search "
+                 "at N/8, scaled 8x linearly in N)"),
         "vs_baseline": round(tpu_qps / cpu_qps, 2),
         "detail": {
             "cpu_flat_qps": round(cpu_qps, 2),
@@ -202,12 +211,14 @@ def main():
             "index_build_steady_s": round(build_steady_s, 3),
             "first_search_s": round(compile_s, 3),
             "steady_ms_per_batch": round(tpu_dt * 1e3, 3),
-            "exact_kernel_qps": round(tpu_qps, 1),
-            "exact_kernel_mxu_pct": mxu_pct(tpu_qps),
-            "xla_exact_qps": round(xla_qps, 1),
-            "xla_exact_mxu_pct": mxu_pct(xla_qps),
-            "approx_qps": round(approx_qps, 1),
-            "approx_mxu_pct": mxu_pct(approx_qps),
+            "exact_kernel_int8_qps": round(tpu_qps, 1),
+            "exact_kernel_int8_mxu_pct_of_bf16_peak": mxu_pct(tpu_qps),
+            "exact_kernel_bf16_qps": round(kernel16_qps, 1),
+            "exact_kernel_bf16_mxu_pct": mxu_pct(kernel16_qps),
+            "xla_exact_bf16_qps": round(xla_qps, 1),
+            "xla_exact_bf16_mxu_pct": mxu_pct(xla_qps),
+            "approx_bf16_qps": round(approx_qps, 1),
+            "approx_bf16_mxu_pct": mxu_pct(approx_qps),
             "masked_50pct_qps": round(masked_qps, 1),
             "recall_at_10_id_tie_aware_512q": round(recall, 4),
             "n_vectors": n,

@@ -113,7 +113,11 @@ def cmd_build_index(args):
         np.save(os.path.join(args.out, f"window_{w}.npy"), flat)
         np.save(os.path.join(args.out, f"window_{w}_pos.npy"), data.pos[s:e])
         if args.mode == "flat":
-            idx = FlatL2Index.build(flat.astype(np.float32))
+            import jax.numpy as jnp
+
+            dt = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                  "int8": jnp.int8}[args.dtype]
+            idx = FlatL2Index.build(flat.astype(np.float32), dtype=dt)
             idx.save(os.path.join(args.out, f"window_{w}.idx"))
     meta = {"windows": win.count, "n_samples": data.n_samples,
             "mode": args.mode, "build_seconds": round(time.time() - t0, 3)}
@@ -489,6 +493,10 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--windows", default=None)
     pb.add_argument("--window-len", type=int, default=1020)
     pb.add_argument("--mode", choices=["flat", "intersect"], default="flat")
+    pb.add_argument("--dtype", choices=["f32", "bf16", "int8"],
+                    default="f32",
+                    help="index storage dtype; int8 is exact for binary "
+                         "genotypes and runs the MXU's double-rate path")
     pb.set_defaults(fn=cmd_build_index)
 
     pq = sub.add_parser("query")

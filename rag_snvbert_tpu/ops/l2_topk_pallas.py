@@ -63,6 +63,11 @@ _ID_MASK = (1 << _ID_BITS) - 1          # 0x1FF
 _KEY_MASK = ~_ID_MASK                   # clears the id bits -> quantized dist
 _MAX_KEY = 2**31 - 1  # plain int: a jnp scalar would be a captured constant
 _INF_KEY = 0x7F800000 & _KEY_MASK       # +inf distance, id bits cleared
+# Integer path: distances clamp at this cap so (dist << ID_BITS) never
+# overflows; the cap doubles as the padding sentinel (a capped key equals
+# the buffer-init key, so capped rows are never retrieved).
+_INT_DIST_CAP = _MAX_KEY >> _ID_BITS    # 0x3FFFFF
+_INT_INF_KEY = _INT_DIST_CAP << _ID_BITS
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -80,14 +85,18 @@ def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
     kd = pl.program_id(2)
     nn = pl.num_programs(1)
     nd = pl.num_programs(2)
+    integer = jnp.issubdtype(jnp.dtype(in_dtype), jnp.integer)
+    acc_t = jnp.int32 if integer else jnp.float32
 
     @pl.when(kd == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
 
+    inf_key = _INT_INF_KEY if integer else _INF_KEY
+
     @pl.when(jnp.logical_and(j == 0, kd == 0))
     def _():
-        top_keys[:] = jnp.full_like(top_keys, _INF_KEY)
+        top_keys[:] = jnp.full_like(top_keys, inf_key)
         top_ids[:] = jnp.zeros_like(top_ids)
         qn[:] = jnp.zeros_like(qn)
 
@@ -95,18 +104,19 @@ def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
     # the scratch is reused for every later ref tile of the same query tile.
     @pl.when(j == 0)
     def _():
-        qf = q_ref[:].astype(jnp.float32)
+        qf = q_ref[:].astype(acc_t)
         qn[:] += jnp.sum(qf * qf, axis=1, keepdims=True)
 
     # MXU: partial dot products q @ r^T over this d tile, in the input
-    # dtype (bf16 inputs run single-pass; f32 inputs use HIGHEST for
-    # FAISS-grade exactness), accumulating in f32.
+    # dtype (int8 runs on the double-rate integer MXU path with exact
+    # int32 accumulation; bf16 single-pass; f32 uses HIGHEST for
+    # FAISS-grade exactness).
     precision = (jax.lax.Precision.HIGHEST
                  if in_dtype == jnp.float32 else None)
     acc[:] += jax.lax.dot_general(
         q_ref[:], r_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_t,
         precision=precision,
     )
 
@@ -115,13 +125,22 @@ def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
     @pl.when(kd == nd - 1)
     def _():
         tq = acc.shape[0]
-        dist = jnp.maximum(qn[:] - 2.0 * acc[:] + rn_ref[:], 0.0)
-
-        # Packed sortable keys: non-negative f32 bits are monotonic under
-        # int32 comparison; the low 9 mantissa bits become the lane id so
-        # keys are unique per row and the min encodes (dist, id).
         lanes = jax.lax.broadcasted_iota(jnp.int32, (tq, tn), 1)
-        keys = (pltpu.bitcast(dist, jnp.int32) & _KEY_MASK) | lanes
+        if integer:
+            # Integer path: distances are exact int32; the key is simply
+            # dist << ID_BITS | lane (lossless below the cap; padded rows
+            # carry cap-valued norms, so their keys clamp to inf_key and
+            # are excluded by the strict-< gate like the f32 path's +inf).
+            dist = jnp.clip(qn[:] - 2 * acc[:] + rn_ref[:], 0,
+                            _INT_DIST_CAP)
+            keys = (dist << _ID_BITS) | lanes
+        else:
+            dist = jnp.maximum(qn[:] - 2.0 * acc[:] + rn_ref[:], 0.0)
+            # Packed sortable keys: non-negative f32 bits are monotonic
+            # under int32 comparison; the low 9 mantissa bits become the
+            # lane id so keys are unique per row and the min encodes
+            # (dist, id).
+            keys = (pltpu.bitcast(dist, jnp.int32) & _KEY_MASK) | lanes
 
         tau = top_keys[:, k - 1 : k]                      # [TQ, 1]
         m0 = jnp.min(keys, axis=1, keepdims=True)         # [TQ, 1]
@@ -164,7 +183,12 @@ def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
 
         @pl.when(j == nn - 1)
         def _():
-            vals_ref[:] = pltpu.bitcast(top_keys[:], jnp.float32)
+            if integer:
+                vals_ref[:] = jnp.where(
+                    top_keys[:] >= _INT_INF_KEY, jnp.inf,
+                    (top_keys[:] >> _ID_BITS).astype(jnp.float32))
+            else:
+                vals_ref[:] = pltpu.bitcast(top_keys[:], jnp.float32)
             ids_ref[:] = top_ids[:]
 
 
@@ -192,13 +216,21 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
     assert d == d2 and r_norms.shape == (n,)
     assert tn <= (1 << _ID_BITS), f"tn={tn} exceeds id-bit capacity"
 
+    integer = jnp.issubdtype(refs.dtype, jnp.integer)
+    if integer:
+        # Integer path (genotype/token vectors): distances are exact int32
+        # and the MXU runs int8 at double rate.  Key packing needs
+        # dist < 2^22, i.e. small element values: |q_i - r_i| <= 22 at
+        # d = 8192 (binary and vocab-sized tokens are far inside).
+        assert d < (1 << 13), "int path supports d < 8192 (key overflow)"
     queries = queries.astype(refs.dtype)
     if td is None:
         # Wider d tiles amortize the per-tile merge check (measured on v5e
         # at N=664k, d=2040: td 512 -> 2048 is 23.9k -> 28.4k QPS); f32
         # tiles are twice the bytes, so cap them lower for VMEM.
         td = 2048 if refs.dtype.itemsize <= 2 else 1024
-    tq = min(tq, _round_up(max(b, 8), 8))
+    sub = 32 if integer else 8  # int8 sublane tiling minimum is 32
+    tq = min(max(tq, sub), _round_up(max(b, sub), sub))
     tn = min(tn, _round_up(max(n, 128), 128))
     td = min(td, _round_up(max(d, 128), 128))
 
@@ -206,8 +238,14 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
     qp = jnp.pad(queries, ((0, bp - b), (0, dp - d)))
     rp = jnp.pad(refs, ((0, np_ - n), (0, dp - d)))
     # 2D [1, N] layout: 1D f32 operands trip XLA/Mosaic tiling mismatches.
-    rnp = jnp.pad(r_norms.astype(jnp.float32), (0, np_ - n),
-                  constant_values=jnp.inf)[None, :]
+    if integer:
+        rn = jnp.where(jnp.isinf(r_norms), _INT_DIST_CAP,
+                       r_norms).astype(jnp.int32)
+        rnp = jnp.pad(rn, (0, np_ - n),
+                      constant_values=_INT_DIST_CAP)[None, :]
+    else:
+        rnp = jnp.pad(r_norms.astype(jnp.float32), (0, np_ - n),
+                      constant_values=jnp.inf)[None, :]
 
     grid = (bp // tq, np_ // tn, dp // td)
 
@@ -233,8 +271,10 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
             jax.ShapeDtypeStruct((bp, _K_LANES), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tq, tn), jnp.float32),        # dot-product accumulator
-            pltpu.VMEM((tq, 1), jnp.float32),         # query norms
+            pltpu.VMEM((tq, tn),                      # dot-product accumulator
+                       jnp.int32 if integer else jnp.float32),
+            pltpu.VMEM((tq, 1),                       # query norms
+                       jnp.int32 if integer else jnp.float32),
             pltpu.VMEM((tq, _K_LANES), jnp.int32),    # running top-k keys
             pltpu.VMEM((tq, _K_LANES), jnp.int32),    # running top-k ids
         ],

@@ -91,15 +91,18 @@ def retrieve_tokens(batch: dict, ctx: TokenWindowContext, k: int = 1,
     if use_pallas is None:
         n = ctx.ref_tokens_masked.shape[0]
         use_pallas = (jax.default_backend() == "tpu" and n > 16384)
-    refs = ctx.ref_tokens_masked.astype(jnp.float32)
-
     # One stacked [2B, L] search for both haplotypes (half the dispatches).
-    q = jnp.concatenate([batch["hap_1"], batch["hap_2"]],
-                        axis=0).astype(jnp.float32)
+    q = jnp.concatenate([batch["hap_1"], batch["hap_2"]], axis=0)
     if use_pallas:
-        _, ids = l2_topk_pallas(q, refs, ctx.ref_norms, k)
+        # Token ids are tiny ints: the kernel's int8 path gives exact
+        # int32 distances at double MXU rate.
+        _, ids = l2_topk_pallas(q.astype(jnp.int8),
+                                ctx.ref_tokens_masked.astype(jnp.int8),
+                                ctx.ref_norms, k)
     else:
-        d = l2_ref.l2_distances(q, refs, r_norms=ctx.ref_norms)
+        d = l2_ref.l2_distances(q.astype(jnp.float32),
+                                ctx.ref_tokens_masked.astype(jnp.float32),
+                                r_norms=ctx.ref_norms)
         _, ids = l2_ref.topk_smallest(d, k)
     i1, i2 = jnp.split(ids, 2, axis=0)  # [B, k] each
     out = dict(batch)

@@ -116,3 +116,25 @@ def test_kernel_tpu_tie_break_ascending_ids():
     _, ids = _run(base, r, 2)
     assert np.asarray(ids)[:, 0].tolist() == [0, 1, 2, 3]
     assert np.asarray(ids)[:, 1].tolist() == [4, 5, 6, 7]
+
+
+def test_kernel_interpret_int8_path_exact():
+    """Integer MXU path (int8 genotypes -> int32 distances): bit-exact
+    results, padding tombstones honored."""
+    import jax.numpy as jnp
+
+    from rag_snvbert_tpu.ops.l2_topk_pallas import l2_topk_pallas
+
+    rng = np.random.default_rng(4)
+    q = rng.integers(0, 2, (8, 200)).astype(np.int8)
+    r = rng.integers(0, 2, (500, 200)).astype(np.int8)
+    rn = (r.astype(np.float32) ** 2).sum(1)
+    rn[450:] = np.inf  # tombstoned rows
+    vals, ids = l2_topk_pallas(jnp.asarray(q), jnp.asarray(r),
+                               jnp.asarray(rn), 5, tq=8, tn=128, td=128,
+                               interpret=True)
+    qf, rf = q.astype(np.float32), r[:450].astype(np.float32)
+    ov, oi = _oracle(qf, rf, 5)
+    assert (np.asarray(vals) == ov).all()
+    assert (np.asarray(ids) == oi).all()
+    assert (np.asarray(ids) < 450).all()
