@@ -431,6 +431,11 @@ def cmd_serve(args):
         rag_k=args.rag_k if args.rag_k is not None else 1,
         batch_size=args.batch_size, rag_mode=rag_mode,
         index_dir=args.index_dir)
+    if args.http is not None:
+        from ..infer.httpd import serve_http
+        host, _, port = args.http.rpartition(":")
+        serve_http(svc, host or "127.0.0.1", int(port))
+        return
     print(json.dumps({"ready": True, "ref_sites": ref_vcf.n_variants}),
           flush=True)
     n = svc.serve_lines(sys.stdin, sys.stdout)
@@ -605,8 +610,11 @@ def build_parser() -> argparse.ArgumentParser:
     pi.set_defaults(fn=cmd_infer)
 
     ps = sub.add_parser("serve", help="persistent imputation service "
-                        "(JSON-lines requests on stdin)")
+                        "(JSON-lines requests on stdin, or --http)")
     add_infer_model_args(ps)
+    ps.add_argument("--http", default=None, metavar="[HOST:]PORT",
+                    help="serve over HTTP (GET /health, POST /impute) "
+                         "instead of stdin/stdout JSON lines")
     ps.set_defaults(fn=cmd_serve)
 
     pe = sub.add_parser("emit-vcf")

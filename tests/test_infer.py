@@ -190,3 +190,64 @@ def test_imputation_service_serves_requests(setup, tmp_path):
     import os
     assert os.path.exists(out1) and os.path.exists(out2)
     assert resps[0]["sites"] == b.ref.n_variants
+
+
+def test_http_front_end(setup, tmp_path):
+    """HTTP transport: /health + /impute round-trip through a live
+    localhost server, bad requests get in-band errors, the server
+    survives them."""
+    import http.client
+    import json
+    import threading
+
+    from rag_snvbert_tpu.infer.httpd import make_server
+    from rag_snvbert_tpu.infer.serve import ImputationService
+    from tests.test_io_and_cli import write_simple_vcf
+
+    b, model, embed_fn, params, seq_len = setup
+    rng = np.random.default_rng(11)
+    keep = rng.random(b.train.n_variants) > 0.4
+    target = drop_sites(b.train, keep)
+    tgt_path = str(tmp_path / "target.vcf")
+    write_simple_vcf(tgt_path, target)
+
+    svc = ImputationService.create(
+        model, embed_fn, params, b.ref, b.freq,
+        window_len=seq_len - 10, seq_len=seq_len, ref_pad_haps=64,
+        batch_size=8, use_pallas=False)
+    server = make_server(svc)  # port 0 -> ephemeral
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+
+        def rt(method, path, body=None):
+            conn.request(method, path,
+                         body=json.dumps(body) if body is not None else None)
+            r = conn.getresponse()
+            return r.status, json.loads(r.read())
+
+        status, health = rt("GET", "/health")
+        assert status == 200 and health["ok"]
+        assert health["ref_sites"] == b.ref.n_variants
+
+        out1 = str(tmp_path / "http_out.vcf")
+        status, resp = rt("POST", "/impute",
+                          {"target": tgt_path, "output_vcf": out1})
+        assert status == 200 and resp["ok"]
+        assert resp["sites"] == b.ref.n_variants
+        import os
+        assert os.path.exists(out1)
+
+        status, resp = rt("POST", "/impute", {"target": "/nonexistent.vcf"})
+        assert status == 422 and not resp["ok"] and "error" in resp
+
+        status, resp = rt("POST", "/nope")
+        assert status == 404
+
+        status, health = rt("GET", "/health")
+        assert status == 200 and health["requests"] == 2
+    finally:
+        server.shutdown()
+        server.server_close()
