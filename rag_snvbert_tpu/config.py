@@ -33,7 +33,7 @@ class ModelConfig:
     fused_qkv: bool = False       # one [D,3D] QKV projection (changes param tree)
     attn_dropout: float | None = None  # 0 disables attention-prob dropout
     scan_layers: bool = False     # lax.scan over encoder layers (fast compile)
-    flash_attention: bool = False
+    flash_attention: bool | str = False  # True|"flash"|"splash[:block]"
     score_bf16: bool = False      # bf16 attention scores (XLA path)
     compat_double_softmax: bool = False
 
@@ -107,13 +107,18 @@ PRESETS: dict[str, RunConfig] = {
     # encoder fwd+bwd 522 -> 168 ms).  Round 2: dropping remat entirely
     # (fits HBM only with scan_layers=False — scanned no-remat overflows)
     # + sequence-broadcast residual-dropout masks + stacked dual-hap
-    # retrieval takes the full train step 213 -> 161.3 ms (B=24).  Same
-    # parameter count as 12 heads.
+    # retrieval takes the full train step 213 -> 161.3 ms (B=24); the
+    # splash-attention kernel (fused bwd, whole-sequence 1152 blocks —
+    # never materializes [L,L] scores in HBM) takes it to 129.1 ms
+    # (block sweep in DESIGN.md section 4).  Off-TPU the splash flag
+    # falls back to the identical XLA einsum path.  Same parameter count
+    # as 12 heads.
     "tpu_default": RunConfig(
         model=ModelConfig(dims=384, n_layers=12, attn_heads=3,
                           pre_ln=True, remat=False, bf16=True,
                           attn_dropout=0.0, scan_layers=False,
                           dropout_broadcast=True,
+                          flash_attention="splash:1152x1152f",
                           score_bf16=True)),
 }
 

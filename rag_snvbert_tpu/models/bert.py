@@ -34,7 +34,7 @@ class BERT(nn.Module):
     dtype: jnp.dtype = jnp.float32   # compute dtype (bf16 for TPU speed)
     attn_dropout: float | None = None
     scan_layers: bool = False        # lax.scan over encoder layers
-    flash_attention: bool = False    # fused Pallas attention kernel
+    flash_attention: bool | str = False  # fused Pallas attention kernel
     score_dtype: jnp.dtype = jnp.float32
     dropout_broadcast: bool = False  # sequence-shared residual-dropout masks
     fused_qkv: bool = False          # one [D,3D] QKV projection

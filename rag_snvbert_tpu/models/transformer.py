@@ -22,6 +22,25 @@ from jax.ad_checkpoint import checkpoint_name
 from flax import linen as nn
 
 
+def _fused_attention_available() -> bool:
+    """Pallas attention kernels require a real TPU backend.  Presets that
+    request flash/splash still work on the CPU test mesh and in the
+    multi-chip dry run: off-TPU the module silently takes the XLA einsum
+    path, which computes the same function (exact softmax attention).
+
+    A pinned ``jax_default_device`` wins over ``default_backend()``:
+    the remote axon TPU registers as the default backend even when
+    JAX_PLATFORMS=cpu pins all work to host devices (tests, dry runs).
+    """
+    try:
+        dev = jax.config.jax_default_device
+        if dev is not None:
+            return getattr(dev, "platform", None) == "tpu"
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _flash_attention(q, k, v, sm_scale, block: int = 384):
     """Fused flash attention via the Pallas TPU kernel: never materializes
     the [L, L] score matrix in HBM — the dominant memory-traffic term of
@@ -54,6 +73,54 @@ def _flash_attention(q, k, v, sm_scale, block: int = 384):
     return out[:, :, :l, :hd]
 
 
+def _splash_attention(q, k, v, sm_scale, block: int = 384,
+                      block_kv: int | None = None,
+                      fused_bwd: bool = True):
+    """Fused attention via the splash-attention Pallas kernel (fwd + bwd
+    kernels; never materializes [L, L] scores in HBM).
+
+    Padding strategy: L is zero-padded up to a block multiple and the
+    padding is encoded in the kernel's *static* block-sparse mask, so
+    fully-invalid tiles are skipped at trace time rather than masked at
+    run time; padded rows/cols of the output are sliced off.
+    """
+    import math
+
+    import numpy as np
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk, splash_attention_mask as sm)
+
+    b, h, l, hd = q.shape
+    bkv = block_kv or block
+    lcm = block * bkv // math.gcd(block, bkv)
+    lp = -(-l // lcm) * lcm
+    hdp = max(128, -(-hd // 128) * 128)
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, lp - l), (0, hdp - hd)))
+
+    qp = pad(q * sm_scale)
+    kp, vp = pad(k), pad(v)
+    valid = np.arange(lp) < l
+    head_mask = sm.NumpyMask(valid[:, None] & valid[None, :])
+    mask = sm.MultiHeadMask([head_mask] * h)
+    if fused_bwd:
+        bs = sk.BlockSizes(
+            block_q=block, block_kv=bkv, block_kv_compute=bkv,
+            block_q_dkv=block, block_kv_dkv=bkv,
+            block_kv_dkv_compute=bkv, use_fused_bwd_kernel=True)
+    else:
+        bs = sk.BlockSizes(
+            block_q=block, block_kv=bkv, block_kv_compute=bkv,
+            block_q_dkv=block, block_kv_dkv=bkv,
+            block_kv_dkv_compute=bkv,
+            block_q_dq=block, block_kv_dq=bkv)
+    kernel = sk.make_splash_mha(mask, block_sizes=bs, head_shards=1,
+                                q_seq_shards=1)
+    out = jax.vmap(kernel)(qp, kp, vp)
+    return out[:, :, :l, :hd]
+
+
 class MultiHeadAttention(nn.Module):
     heads: int
     dims: int
@@ -62,8 +129,10 @@ class MultiHeadAttention(nn.Module):
     attn_dropout: float | None = None  # None -> same as dropout.  Set 0 to
     # skip the [B,H,L,L] bernoulli mask — its RNG temps dominate HBM at
     # L~1030 and remat must keep them; modern practice drops only residuals.
-    flash: bool = False        # fused Pallas flash-attention path (TPU).
-    # Requires attn_dropout == 0 and no explicit attention mask.
+    flash: bool | str = False  # fused Pallas attention path (TPU):
+    # True/"flash" = jax flash-attention kernel; "splash[:block]" = the
+    # splash-attention kernel (static block-sparse padding mask, fused
+    # bwd).  Requires attn_dropout == 0 and no explicit attention mask.
     remat: bool = False        # checkpoint this attention only (selective
     # remat: the [B,H,L,L] intermediates are recomputed in backward while
     # the cheap-to-store FFN activations are kept).
@@ -94,8 +163,22 @@ class MultiHeadAttention(nn.Module):
             k = proj("key").transpose(0, 2, 1, 3)
             v = proj("value").transpose(0, 2, 1, 3)
 
-        if self.flash and mask is None and attn_rate == 0.0:
-            out = _flash_attention(q, k, v, sm_scale=1.0 / float(hd) ** 0.5)
+        if (self.flash and mask is None and attn_rate == 0.0
+                and _fused_attention_available()):
+            scale = 1.0 / float(hd) ** 0.5
+            if isinstance(self.flash, str) and self.flash.startswith("splash"):
+                # "splash[:BQ[xBKV][f]]" — block sizes; trailing f = fused
+                # dq/dkv backward kernel (measured fastest at 384f).
+                _, _, blk = self.flash.partition(":")
+                fused_bwd = blk.endswith("f")
+                blk = blk.rstrip("f")
+                bq, _, bkv = blk.partition("x")
+                out = _splash_attention(q, k, v, scale,
+                                        block=int(bq) if bq else 384,
+                                        block_kv=int(bkv) if bkv else None,
+                                        fused_bwd=fused_bwd or not blk)
+            else:
+                out = _flash_attention(q, k, v, sm_scale=scale)
         else:
             score = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                                preferred_element_type=self.score_dtype)
@@ -155,7 +238,7 @@ class TransformerBlock(nn.Module):
     pre_ln: bool = False
     dtype: jnp.dtype = jnp.float32
     attn_dropout: float | None = None
-    flash: bool = False
+    flash: bool | str = False
     score_dtype: jnp.dtype = jnp.float32
     attn_remat: bool = False
     dropout_broadcast: bool = False  # share residual-dropout masks across
@@ -236,7 +319,7 @@ class Encoder(nn.Module):
     # HBM — use full-block or save_most remat there.
     dtype: jnp.dtype = jnp.float32
     attn_dropout: float | None = None
-    flash: bool = False
+    flash: bool | str = False
     score_dtype: jnp.dtype = jnp.float32
     scan: bool = False  # lax.scan over layers: one traced block body
     # instead of n_layers inlined copies — ~10x smaller HLO / compile time.

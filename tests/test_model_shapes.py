@@ -93,3 +93,22 @@ def test_embed_exposed_for_retrieval(rng):
     toks = x["hap_1"]
     emb = model.apply(params, toks, x["af"], method=model.embed)
     assert emb.shape == (B, L, D)
+
+
+@pytest.mark.parametrize("flash", [True, "flash", "splash:384f",
+                                   "splash:576x384", "splash"])
+def test_fused_attention_flag_falls_back_off_tpu(rng, flash):
+    """flash/splash presets must run everywhere: off-TPU the module takes
+    the XLA einsum path and computes the exact same function, so the
+    fused-kernel flag changes nothing but the on-TPU schedule."""
+    from rag_snvbert_tpu.models.transformer import MultiHeadAttention
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 32)), jnp.float32)
+    kw = dict(heads=4, dims=32, attn_dropout=0.0)
+    base = MultiHeadAttention(**kw)
+    params = base.init(jax.random.key(0), x)
+    fused = MultiHeadAttention(flash=flash, **kw)
+    out_base = base.apply(params, x)
+    out_fused = fused.apply(params, x)  # same param tree, same math
+    np.testing.assert_array_equal(np.asarray(out_base),
+                                  np.asarray(out_fused))

@@ -1,0 +1,86 @@
+"""Full-scale-window epoch bench through the REAL Trainer loop.
+
+Times one chr21-scale window (1004 samples, batch 24, 2008-hap reference
+panel, L=1030) end to end — host batch assembly + prefetch, retrieval
+context encode, jitted train steps — and projects the 331-window chr21
+epoch.  This is the number behind the README epoch-time row; the
+reference's V18 measures 78 min/epoch on an A100-class GPU
+(HOW_TO_RUN.md:155-156).
+
+Usage:  python -m tools.bench_epoch_window [--epochs 3] [--preset tpu_default]
+The first epoch is compile + warmup; the fastest epoch is reported.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+from rag_snvbert_tpu.config import PRESETS
+from rag_snvbert_tpu.data.pipeline import WindowDataset
+from rag_snvbert_tpu.io.synthetic import make_bundle
+from rag_snvbert_tpu.train.trainer import Trainer, TrainerConfig
+
+CHR21_WINDOWS = 331
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="tpu_default")
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--samples", type=int, default=1004)
+    ap.add_argument("--ref-samples", type=int, default=1004)  # 2008 haps
+    ap.add_argument("--override", action="append", default=[],
+                    help="ModelConfig field=value (python literal)")
+    args = ap.parse_args()
+
+    run = PRESETS[args.preset]
+    m = run.model
+    if args.override:
+        import ast
+        kv = {o.split("=", 1)[0]: ast.literal_eval(o.split("=", 1)[1])
+              for o in args.override}
+        m = dataclasses.replace(m, **kv)
+    seq_len = m.seq_len
+    win = seq_len - 10
+    print(f"building synthetic window: {args.samples} samples, "
+          f"{2 * args.ref_samples} ref haps, {win} sites", file=sys.stderr)
+    b = make_bundle(n_train_samples=args.samples,
+                    n_ref_samples=args.ref_samples,
+                    n_sites=win, n_windows=1, seed=5)
+    ds = WindowDataset(b.train, b.panel, b.freq, b.window.window_info,
+                       b.vocab, ref_vcf=b.ref, seq_len=seq_len)
+    model = dataclasses.replace(run, model=m).build_model(b.vocab.size)
+
+    def embed_fn(p, toks, af, deterministic, rngs=None):
+        return model.apply({"params": p}, toks, af, deterministic,
+                           method=model.embed, rngs=rngs)
+
+    cfg = TrainerConfig(epochs=args.epochs, batch_size=run.batch_size,
+                        warmup_steps=100, grad_accum_steps=1,
+                        focal_gamma=run.focal_gamma, rag_k=run.rag_k,
+                        ref_pad_haps=2048, curriculum_every=10_000,
+                        patience=10_000, output_dir="/tmp/bench_epoch_window",
+                        log_freq=10_000, seed=0, async_checkpoints=False)
+    tr = Trainer(model, embed_fn, ds, cfg, val_ds=None)
+    # fit() would checkpoint each epoch; drive epochs directly.
+    times = []
+    for ep in range(args.epochs):
+        s = tr._run_epoch(ep, train=True)
+        times.append(s["epoch_seconds"])
+        print(f"epoch {ep}: {s['epoch_seconds']:.2f}s "
+              f"({s['n_batches']} steps, loss {s['loss']:.3f})",
+              file=sys.stderr)
+    best = min(times[1:]) if len(times) > 1 else times[0]
+    n_steps = -(-args.samples // run.batch_size)
+    out = {"preset": args.preset, "overrides": args.override,
+           "window_seconds": round(best, 2),
+           "ms_per_step_e2e": round(1e3 * best / n_steps, 1),
+           "chr21_epoch_min": round(best * CHR21_WINDOWS / 60, 1)}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
