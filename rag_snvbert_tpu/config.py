@@ -110,9 +110,10 @@ PRESETS: dict[str, RunConfig] = {
     # retrieval takes the full train step 213 -> 161.3 ms (B=24); the
     # splash-attention kernel (fused bwd, whole-sequence 1152 blocks —
     # never materializes [L,L] scores in HBM) takes it to 129.1 ms
-    # (block sweep in DESIGN.md section 4).  Off-TPU the splash flag
-    # falls back to the identical XLA einsum path.  Same parameter count
-    # as 12 heads.
+    # (block sweep in DESIGN.md section 4; at batch > 24 the whole-tile
+    # dkv kernel overflows scoped VMEM — use "splash:1152x384f" there).
+    # Off-TPU the splash flag falls back to the identical XLA einsum
+    # path.  Same parameter count as 12 heads.
     "tpu_default": RunConfig(
         model=ModelConfig(dims=384, n_layers=12, attn_heads=3,
                           pre_ln=True, remat=False, bf16=True,

@@ -120,12 +120,20 @@ class WindowDataset:
 
     def make_batch(self, meta: WindowMeta, sample_ids: np.ndarray,
                    level: int, seed: int,
-                   pad_to: int | None = None) -> dict[str, np.ndarray]:
+                   pad_to: int | None = None,
+                   packed: bool = False) -> dict[str, np.ndarray]:
         """Assemble one fixed-shape batch for `sample_ids` of one window.
 
         If ``pad_to`` exceeds len(sample_ids) the batch is padded by
         repeating row 0 with a zeroed loss mask (static batch shapes
         without skewing metrics).
+
+        ``packed=True`` emits the compact wire format for slow
+        host->device links (train/step.expand_packed undoes it inside the
+        jitted step): int8 tokens/labels/mask, window-level ``pos``/``af``
+        as [L] instead of [B, L] broadcasts, and the four per-population
+        frequency features as [n_pops, L, 4] rows + a [B] row-selector
+        gathered on device — ~5x fewer bytes per batch.
         """
         sample_ids = np.asarray(sample_ids)
         sl, valid = meta.site_slice, meta.valid_idx
@@ -154,22 +162,35 @@ class WindowDataset:
             for nm in names:
                 rows[nm][r_i] = sequence_padding(fr[nm], L)
         sel = np.searchsorted(pops, batch_pops)          # [B] row per sample
-        af_p, ref, het, hom = (rows[nm][sel] for nm in names)
 
+        itype = np.int8 if packed else np.int32
         batch = {
-            "hap_1": toks1.astype(np.int32),
-            "hap_2": toks2.astype(np.int32),
-            "hap_1_label": sequence_padding(h1, L).astype(np.int32),
-            "hap_2_label": sequence_padding(h2, L).astype(np.int32),
-            "gt_label": sequence_padding(genotype_label(h1, h2), L).astype(np.int32),
-            "mask": np.broadcast_to(mask, (b, L)).astype(np.int32).copy(),
-            "pos": np.broadcast_to(pos_n, (b, L)).astype(np.float32).copy(),
-            "af": np.broadcast_to(af_g, (b, L)).astype(np.float32).copy(),
-            "af_p": af_p, "ref": ref, "het": het, "hom": hom,
+            "hap_1": toks1.astype(itype),
+            "hap_2": toks2.astype(itype),
+            "hap_1_label": sequence_padding(h1, L).astype(itype),
+            "hap_2_label": sequence_padding(h2, L).astype(itype),
+            "gt_label": sequence_padding(genotype_label(h1, h2), L).astype(itype),
+            "mask": np.broadcast_to(mask, (b, L)).astype(itype).copy(),
         }
+        if packed:
+            batch["pos"] = pos_n.astype(np.float32)          # [L]
+            batch["af"] = af_g.astype(np.float32)            # [L]
+            batch["feat_rows"] = np.stack([rows[nm] for nm in names],
+                                          axis=-1)           # [P, L, 4]
+            batch["feat_sel"] = sel.astype(np.int8)          # [B]
+        else:
+            af_p, ref, het, hom = (rows[nm][sel] for nm in names)
+            batch.update({
+                "pos": np.broadcast_to(pos_n, (b, L)).astype(np.float32).copy(),
+                "af": np.broadcast_to(af_g, (b, L)).astype(np.float32).copy(),
+                "af_p": af_p, "ref": ref, "het": het, "hom": hom,
+            })
+        window_level = {"pos", "af", "feat_rows"} if packed else set()
         if pad_to is not None and pad_to > b:
             padn = pad_to - b
             for k, v in batch.items():
+                if k in window_level:        # no batch dim: nothing to pad
+                    continue
                 batch[k] = np.concatenate(
                     [v, np.repeat(v[:1], padn, axis=0)], axis=0)
             batch["mask"][b:] = 0  # padded rows contribute no loss/metrics
@@ -203,7 +224,8 @@ class WindowDataset:
     def epoch_batches(self, batch_size: int, epoch: int, level: int,
                       shuffle: bool = True, seed: int | None = None,
                       sample_ids: np.ndarray | None = None,
-                      host_id: int = 0, n_hosts: int = 1
+                      host_id: int = 0, n_hosts: int = 1,
+                      packed: bool = False
                       ) -> Iterator[tuple[WindowMeta, dict]]:
         """Yield (window_meta, batch) in window-major order.
 
@@ -237,7 +259,8 @@ class WindowDataset:
                 if n_hosts == 1:
                     yield meta, self.make_batch(meta, gchunk, level,
                                                 mask_seed,
-                                                pad_to=batch_size)
+                                                pad_to=batch_size,
+                                                packed=packed)
                     continue
                 if olen < batch_size:  # same global padding on every host
                     gchunk = np.concatenate(

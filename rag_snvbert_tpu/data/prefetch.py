@@ -13,22 +13,29 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterable, Iterator, TypeVar
+from typing import Callable, Iterable, Iterator, TypeVar
 
 T = TypeVar("T")
 
 _SENTINEL = object()
 
 
-def prefetch_iter(it: Iterable[T], size: int = 2) -> Iterator[T]:
+def prefetch_iter(it: Iterable[T], size: int = 2,
+                  transform: Callable[[T], T] | None = None) -> Iterator[T]:
     """Iterate ``it`` on a background thread, keeping up to ``size`` items
-    ready.  Exceptions from the producer re-raise at the consumer."""
+    ready.  Exceptions from the producer re-raise at the consumer.
+
+    ``transform`` runs on the producer thread — the hook for issuing
+    host->device transfers (jax dispatch is thread-safe) so the copy
+    overlaps the previous device step instead of sitting on the critical
+    path between steps.
+    """
     q: queue.Queue = queue.Queue(maxsize=size)
 
     def produce():
         try:
             for item in it:
-                q.put(item)
+                q.put(item if transform is None else transform(item))
         except BaseException as e:  # surfaced on the consumer side
             q.put((_SENTINEL, e))
             return

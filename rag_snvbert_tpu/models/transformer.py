@@ -75,7 +75,8 @@ def _flash_attention(q, k, v, sm_scale, block: int = 384):
 
 def _splash_attention(q, k, v, sm_scale, block: int = 384,
                       block_kv: int | None = None,
-                      fused_bwd: bool = True):
+                      fused_bwd: bool = True,
+                      interpret: bool = False):
     """Fused attention via the splash-attention Pallas kernel (fwd + bwd
     kernels; never materializes [L, L] scores in HBM).
 
@@ -116,7 +117,7 @@ def _splash_attention(q, k, v, sm_scale, block: int = 384,
             block_kv_dkv_compute=bkv,
             block_q_dq=block, block_kv_dq=bkv)
     kernel = sk.make_splash_mha(mask, block_sizes=bs, head_shards=1,
-                                q_seq_shards=1)
+                                q_seq_shards=1, interpret=interpret)
     out = jax.vmap(kernel)(qp, kp, vp)
     return out[:, :, :l, :hd]
 

@@ -47,11 +47,43 @@ def _labels(batch: dict) -> dict:
             "gt": batch["gt_label"]}
 
 
+_INT_KEYS = ("hap_1", "hap_2", "hap_1_label", "hap_2_label", "gt_label",
+             "mask")
+
+
+def expand_packed(batch: dict) -> dict:
+    """Undo the compact wire format of ``make_batch(packed=True)`` on
+    device (free: XLA fuses the casts/broadcasts into the consumers).
+
+    The packed layout exists because a batch crosses a slow host->device
+    link every step: int8 tokens/labels/mask, window-level ``pos``/``af``
+    as [L], and the per-population frequency features as [P, L, 4] rows
+    gathered here by the [B] ``feat_sel`` — ~5x fewer bytes than the
+    expanded [B, L] float batch.  A non-packed batch passes through
+    unchanged, so every caller of train_step/eval_step can ignore this.
+    """
+    if "feat_rows" not in batch:
+        return batch
+    b = batch["hap_1"].shape[0]
+    out = {k: batch[k].astype(jnp.int32) for k in _INT_KEYS}
+    bc = lambda x: jnp.broadcast_to(x.astype(jnp.float32)[None, :],
+                                    (b, x.shape[0]))
+    out["pos"], out["af"] = bc(batch["pos"]), bc(batch["af"])
+    feats = batch["feat_rows"][batch["feat_sel"].astype(jnp.int32)]  # [B,L,4]
+    for i, nm in enumerate(("af_p", "ref", "het", "hom")):
+        out[nm] = feats[..., i]
+    for k, v in batch.items():   # pass through anything else (rag_emb_*…)
+        if k not in out and k not in ("pos", "af", "feat_rows", "feat_sel"):
+            out[k] = v
+    return out
+
+
 def _forward(apply_fn: Callable, embed_fn: Callable, params: Any,
              batch: dict, ctx: WindowRefContext | None, cfg: StepConfig,
              deterministic: bool, dropout_rng, mesh=None
              ) -> tuple[jax.Array, tuple]:
     rngs = None if deterministic else {"dropout": dropout_rng}
+    batch = expand_packed(batch)
     if isinstance(ctx, TokenWindowContext):
         # V17 token-space mode: retrieval returns raw token segments; the
         # model (BERTWithRAG) re-encodes them through the transformer.
@@ -76,19 +108,36 @@ def _forward(apply_fn: Callable, embed_fn: Callable, params: Any,
     return loss, (aux, counters)
 
 
+def _accumulate(acc: dict | None, stats: dict) -> dict | None:
+    """Fold this step's metrics into the running epoch accumulator
+    ``{"counters": ..., "totals": ...}`` INSIDE the jitted step.  A
+    separate per-step accumulation call measures +14 ms/step on a
+    remote-attached chip (each dispatch rides the tunnel), so the epoch
+    reduction lives in the same XLA program as the step."""
+    if acc is None:
+        return None
+    counters = jax.tree.map(lambda a, b: a + b, acc["counters"],
+                            stats["counters"])
+    totals = {k: (v + stats[k] if k in stats else v)
+              for k, v in acc["totals"].items()}
+    return {"counters": counters, "totals": totals}
+
+
 @partial(jax.jit, static_argnames=("embed_fn", "cfg", "mesh"),
-         donate_argnames=("state",))
+         donate_argnames=("state", "acc"))
 def train_step(state: TrainState, batch: dict,
                ctx: WindowRefContext | None, rng: jax.Array,
-               embed_fn: Callable, cfg: StepConfig, mesh=None
-               ) -> tuple[TrainState, dict]:
+               embed_fn: Callable, cfg: StepConfig, mesh=None,
+               acc: dict | None = None):
     """One optimizer step.  ``ctx`` is the current window's retrieval
     context (None disables RAG — the plain-BERT path).  ``mesh`` (static)
     is required only for a ShardedWindowRefContext.
 
     The input state is donated: its buffers are reused for the output
     state, so params + optimizer memory is constant across steps even with
-    deep async dispatch pipelines."""
+    deep async dispatch pipelines.  ``acc`` (optional, donated) is the
+    running epoch metric accumulator; when given, the return is
+    ``(state, stats, acc')`` instead of ``(state, stats)``."""
     dropout_rng = jax.random.fold_in(rng, state.step)
 
     def loss_fn(params):
@@ -101,17 +150,24 @@ def train_step(state: TrainState, batch: dict,
     new_state = state.apply_gradients(grads=grads)
     stats = {"loss": loss, **aux, "counters": counters,
              "grad_norm": optax_global_norm(grads)}
-    return new_state, stats
+    if acc is None:
+        return new_state, stats
+    return new_state, stats, _accumulate(acc, stats)
 
 
-@partial(jax.jit, static_argnames=("embed_fn", "cfg", "mesh"))
+@partial(jax.jit, static_argnames=("embed_fn", "cfg", "mesh"),
+         donate_argnames=("acc",))
 def eval_step(state: TrainState, batch: dict,
               ctx: WindowRefContext | None, embed_fn: Callable,
-              cfg: StepConfig, mesh=None) -> dict:
+              cfg: StepConfig, mesh=None, acc: dict | None = None):
+    """Forward-only step; with ``acc`` returns ``(stats, acc')``."""
     loss, (aux, counters) = _forward(
         state.apply_fn, embed_fn, state.params, batch, ctx, cfg,
         deterministic=True, dropout_rng=jax.random.key(0), mesh=mesh)
-    return {"loss": loss, **aux, "counters": counters}
+    stats = {"loss": loss, **aux, "counters": counters}
+    if acc is None:
+        return stats
+    return stats, _accumulate(acc, stats)
 
 
 def optax_global_norm(grads) -> jax.Array:

@@ -259,22 +259,42 @@ class Trainer:
         # the async stream); each np fetch costs a host round trip — at 42
         # steps/window x ~16 counter leaves that was ~0.5 s/step on a
         # remote-attached chip.
-        counters = metrics_lib.zeros_like_counters()
-        totals = {"loss": jnp.zeros(()), "hap_loss": jnp.zeros(()),
-                  "gt_loss": jnp.zeros(())}
+        acc = {"counters": metrics_lib.zeros_like_counters(),
+               "totals": {"loss": jnp.zeros(()), "hap_loss": jnp.zeros(()),
+                          "gt_loss": jnp.zeros(())}}
+        # distinct buffers per leaf: the accumulator is DONATED into the
+        # step, and zeros_like_counters shares arrays between fields
+        # (donating one buffer twice is an error)
+        acc = jax.tree.map(lambda x: x.copy(), acc)
         n_batches = 0
         t0 = time.time()
         current_wid = -1
         ctx = None
         prefetched: dict[int, object] = {}
         use_rag = ds.ref_vcf is not None and self.cfg.rag_mode != "none"
+        # Single-device: ship the compact wire format (int8 tokens, [L]
+        # window features) and expand on device — ~5x fewer bytes over
+        # the host->device link per step.  The mesh path keeps the
+        # expanded layout: its per-key shardings assume a leading batch
+        # dim on every leaf.
         batch_iter = ds.epoch_batches(bs, epoch, level, shuffle=train,
-                                      seed=seed, sample_ids=sample_ids)
+                                      seed=seed, sample_ids=sample_ids,
+                                      packed=self.mesh is None)
         if self.cfg.prefetch_batches > 0:
             from ..data.prefetch import prefetch_iter
 
-            batch_iter = prefetch_iter(batch_iter,
-                                       size=self.cfg.prefetch_batches)
+            # Issue the host->device copy from the producer thread too,
+            # so it overlaps the previous step's compute instead of
+            # sitting between steps.  The loop-body conversion below
+            # then no-ops on the transferred arrays.
+            if self.mesh is not None:
+                put = lambda b: {k: jax.device_put(v, self._data_sh)
+                                 for k, v in b.items()}
+            else:
+                put = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+            batch_iter = prefetch_iter(
+                batch_iter, size=self.cfg.prefetch_batches,
+                transform=lambda mb: (mb[0], put(mb[1])))
         for meta, np_batch, next_meta in _with_lookahead(batch_iter):
             if use_rag and meta.window_idx != current_wid:
                 # Window switch -> rebuild the derived retrieval context
@@ -302,24 +322,20 @@ class Trainer:
                 batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
             step_mesh = self.mesh if self.shard_ctx else None
             if train:
-                self.state, stats = train_step(self.state, batch, ctx,
-                                               self.rng, self.embed_fn,
-                                               self.step_cfg, mesh=step_mesh)
+                self.state, stats, acc = train_step(
+                    self.state, batch, ctx, self.rng, self.embed_fn,
+                    self.step_cfg, mesh=step_mesh, acc=acc)
             else:
-                stats = eval_step(self.state, batch, ctx, self.embed_fn,
-                                  self.step_cfg, mesh=step_mesh)
-            counters = jax.tree.map(lambda a, b: a + b, counters,
-                                    stats["counters"])
-            for k in totals:
-                if k in stats:
-                    totals[k] = totals[k] + stats[k]
+                stats, acc = eval_step(self.state, batch, ctx,
+                                       self.embed_fn, self.step_cfg,
+                                       mesh=step_mesh, acc=acc)
             n_batches += 1
             if train and n_batches % self.cfg.log_freq == 0:
                 self._log({"event": "step", "epoch": epoch,
                            "batch": n_batches,
                            "loss": float(stats["loss"])})
-        counters = jax.device_get(counters)   # one sync per epoch
-        totals = jax.device_get(totals)
+        acc = jax.device_get(acc)             # one sync per epoch
+        counters, totals = acc["counters"], acc["totals"]
         summary = metrics_lib.summarize(counters)
         summary.update({k: float(v) / max(n_batches, 1)
                         for k, v in totals.items()})

@@ -155,3 +155,30 @@ def test_multihost_global_batch_on_mesh():
     gb = global_batch(mesh, batch)
     assert gb["hap_1"].shape == batch["hap_1"].shape
     np.testing.assert_array_equal(np.asarray(gb["hap_1"]), batch["hap_1"])
+
+
+def test_packed_batch_roundtrip():
+    """The compact wire format (packed=True) expanded on device must equal
+    the plain batch bit-for-bit — including padded rows and the zeroed
+    pad-row mask."""
+    from rag_snvbert_tpu.train.step import expand_packed
+
+    b, ds = make_ds(n_sites=300, n_windows=3)
+    meta = ds.windows[1]
+    ids = np.arange(5)
+    plain = ds.make_batch(meta, ids, level=2, seed=7, pad_to=8)
+    packed = ds.make_batch(meta, ids, level=2, seed=7, pad_to=8, packed=True)
+
+    # wire-size sanity: packed must be much smaller
+    size = lambda bt: sum(v.nbytes for v in bt.values())
+    assert size(packed) < size(plain) / 3
+
+    expanded = expand_packed({k: np.asarray(v) for k, v in packed.items()})
+    assert set(expanded) == set(plain)
+    for k in plain:
+        got = np.asarray(expanded[k])
+        assert got.dtype == plain[k].dtype, k
+        np.testing.assert_array_equal(got, plain[k], err_msg=k)
+    # non-packed batches pass through expand_packed untouched
+    again = expand_packed(plain)
+    assert again is plain

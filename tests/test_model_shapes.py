@@ -112,3 +112,38 @@ def test_fused_attention_flag_falls_back_off_tpu(rng, flash):
     out_fused = fused.apply(params, x)  # same param tree, same math
     np.testing.assert_array_equal(np.asarray(out_base),
                                   np.asarray(out_fused))
+
+
+def test_splash_kernel_interpret_parity(rng):
+    """Splash-kernel smoke in the default (CPU) suite via Pallas interpret
+    mode: forward AND backward match the XLA reference at a padded,
+    masked shape — kernel regressions surface without hardware
+    (the TPU-gated tests cover the compiled kernel)."""
+    import jax.numpy as jnp
+    from rag_snvbert_tpu.models.transformer import _splash_attention
+
+    b, h, l, hd = 1, 2, 50, 32          # pads to L=128, hd=128 in-kernel
+    q = jnp.asarray(rng.standard_normal((b, h, l, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, l, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, l, hd)), jnp.float32)
+    scale = hd ** -0.5
+
+    def ref(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+
+    def ker(q, k, v):
+        return _splash_attention(q, k, v, scale, block=128, interpret=True)
+
+    out_r = ref(q, k, v)
+    out_k = ker(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               rtol=2e-4, atol=2e-4)
+
+    loss_r = lambda *a: (ref(*a) ** 2).sum()
+    loss_k = lambda *a: (ker(*a) ** 2).sum()
+    g_r = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    g_k = jax.grad(loss_k, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_k, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3)

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--ref-samples", type=int, default=1004)  # 2008 haps
     ap.add_argument("--override", action="append", default=[],
                     help="ModelConfig field=value (python literal)")
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="TrainerConfig.prefetch_batches")
     args = ap.parse_args()
 
     run = PRESETS[args.preset]
@@ -63,7 +65,8 @@ def main():
                         focal_gamma=run.focal_gamma, rag_k=run.rag_k,
                         ref_pad_haps=2048, curriculum_every=10_000,
                         patience=10_000, output_dir="/tmp/bench_epoch_window",
-                        log_freq=10_000, seed=0, async_checkpoints=False)
+                        log_freq=10_000, seed=0, async_checkpoints=False,
+                        prefetch_batches=args.prefetch)
     tr = Trainer(model, embed_fn, ds, cfg, val_ds=None)
     # fit() would checkpoint each epoch; drive epochs directly.
     times = []
