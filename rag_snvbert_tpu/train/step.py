@@ -138,6 +138,14 @@ def train_step(state: TrainState, batch: dict,
     deep async dispatch pipelines.  ``acc`` (optional, donated) is the
     running epoch metric accumulator; when given, the return is
     ``(state, stats, acc')`` instead of ``(state, stats)``."""
+    new_state, stats = _train_core(state, batch, ctx, rng, embed_fn, cfg,
+                                   mesh)
+    if acc is None:
+        return new_state, stats
+    return new_state, stats, _accumulate(acc, stats)
+
+
+def _train_core(state, batch, ctx, rng, embed_fn, cfg, mesh):
     dropout_rng = jax.random.fold_in(rng, state.step)
 
     def loss_fn(params):
@@ -150,9 +158,34 @@ def train_step(state: TrainState, batch: dict,
     new_state = state.apply_gradients(grads=grads)
     stats = {"loss": loss, **aux, "counters": counters,
              "grad_norm": optax_global_norm(grads)}
-    if acc is None:
-        return new_state, stats
-    return new_state, stats, _accumulate(acc, stats)
+    return new_state, stats
+
+
+@partial(jax.jit, static_argnames=("embed_fn", "cfg", "mesh"),
+         donate_argnames=("state", "acc"))
+def train_step_scan(state: TrainState, batches: dict,
+                    ctx: WindowRefContext | None, rng: jax.Array,
+                    embed_fn: Callable, cfg: StepConfig, mesh=None,
+                    acc: dict = None):
+    """K optimizer steps in ONE dispatch: ``batches`` leaves are stacked
+    [K, ...] (consecutive batches of the same window) and lax.scan runs
+    the identical per-step body K times on device.
+
+    Motivation is the serving link, not FLOPs: on a remote-attached chip
+    every dispatch costs ~10-20 ms of tunnel latency between steps
+    (measured in DESIGN.md section 9); scanning K steps amortizes that to
+    1/K while keeping semantics identical — same per-step dropout fold-in
+    (state.step advances inside the scan), same optimizer updates, same
+    metric accumulation into the donated ``acc``.  Returns
+    ``(state, {"loss": last_step_loss}, acc')``.
+    """
+    def body(carry, batch):
+        st, a = carry
+        st, stats = _train_core(st, batch, ctx, rng, embed_fn, cfg, mesh)
+        return (st, _accumulate(a, stats)), stats["loss"]
+
+    (state, acc), losses = jax.lax.scan(body, (state, acc), batches)
+    return state, {"loss": losses[-1]}, acc
 
 
 @partial(jax.jit, static_argnames=("embed_fn", "cfg", "mesh"),

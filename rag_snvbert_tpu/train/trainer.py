@@ -34,7 +34,8 @@ from ..data.pipeline import WindowDataset
 from . import metrics as metrics_lib
 from .retrieval import build_token_window_ctx, encode_window_refs
 from .schedule import make_optimizer
-from .step import StepConfig, TrainState, eval_step, train_step
+from .step import (StepConfig, TrainState, eval_step, train_step,
+                   train_step_scan)
 
 
 @dataclasses.dataclass
@@ -97,6 +98,13 @@ class TrainerConfig:
     mask_schedule: str = "level"
     mask_start: float = 0.15           # continuous-schedule ramp bounds
     mask_end: float = 0.8
+    # Train steps fused per device dispatch: consecutive same-window
+    # batches are stacked [K, ...] and lax.scan runs K optimizer steps in
+    # one jitted call (train/step.train_step_scan) — semantics identical,
+    # but per-dispatch link latency is amortized K-fold.  Matters on a
+    # remote-attached chip (~10-20 ms/dispatch); neutral on co-located
+    # hosts.  1 disables; validation always runs per-step.
+    steps_per_dispatch: int = 1
     # Checkpointing: save asynchronously (orbax async — the save overlaps
     # the next epoch's steps instead of blocking the stream) and keep only
     # the newest N epoch checkpoints on disk (best is always kept).
@@ -123,6 +131,30 @@ class EarlyStopping:
             return True, False
         self.bad_epochs += 1
         return False, self.bad_epochs >= self.patience
+
+
+def _chunk_batches(it, k: int):
+    """Group consecutive same-window (meta, batch) pairs into stacked
+    [K, ...] chunks for train_step_scan.  Chunks never span a window
+    boundary (each scan shares one retrieval context); the trailing
+    chunk of a window may be shorter (one extra compiled shape)."""
+    pending: list = []
+    cur_meta = None
+
+    def flush():
+        stacked = {key: np.stack([b[key] for b in pending])
+                   for key in pending[0]}
+        return cur_meta, stacked
+
+    for meta, b in it:
+        if pending and (meta.window_idx != cur_meta.window_idx
+                        or len(pending) == k):
+            yield flush()
+            pending = []
+        cur_meta = meta
+        pending.append(b)
+    if pending:
+        yield flush()
 
 
 def _with_lookahead(it):
@@ -280,6 +312,9 @@ class Trainer:
         batch_iter = ds.epoch_batches(bs, epoch, level, shuffle=train,
                                       seed=seed, sample_ids=sample_ids,
                                       packed=self.mesh is None)
+        k_scan = self.cfg.steps_per_dispatch if train else 1
+        if k_scan > 1:
+            batch_iter = _chunk_batches(batch_iter, k_scan)
         if self.cfg.prefetch_batches > 0:
             from ..data.prefetch import prefetch_iter
 
@@ -321,15 +356,21 @@ class Trainer:
             else:
                 batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
             step_mesh = self.mesh if self.shard_ctx else None
-            if train:
+            if k_scan > 1:
+                self.state, stats, acc = train_step_scan(
+                    self.state, batch, ctx, self.rng, self.embed_fn,
+                    self.step_cfg, mesh=step_mesh, acc=acc)
+                n_batches += next(iter(batch.values())).shape[0]
+            elif train:
                 self.state, stats, acc = train_step(
                     self.state, batch, ctx, self.rng, self.embed_fn,
                     self.step_cfg, mesh=step_mesh, acc=acc)
+                n_batches += 1
             else:
                 stats, acc = eval_step(self.state, batch, ctx,
                                        self.embed_fn, self.step_cfg,
                                        mesh=step_mesh, acc=acc)
-            n_batches += 1
+                n_batches += 1
             if train and n_batches % self.cfg.log_freq == 0:
                 self._log({"event": "step", "epoch": epoch,
                            "batch": n_batches,

@@ -141,3 +141,37 @@ def test_checkpoint_gc_keeps_newest_and_best(tmp_path):
     assert len(kept) <= 2                # newest + (possibly) best
     if best is not None:
         assert os.path.exists(best)
+
+
+def test_steps_per_dispatch_matches_per_step(tmp_path):
+    """Multi-step dispatch (lax.scan over stacked batches) must reproduce
+    per-step training: same batch order, same per-step dropout fold-in,
+    same optimizer updates, same epoch metrics.  Chunk size 3 over 2
+    batches/window also exercises the short trailing chunk."""
+    import jax
+
+    b, ds = make_ds()
+    from rag_snvbert_tpu.models import BERTWithEmbeddingRAG
+
+    def run(k, out):
+        bert = BERTWithEmbeddingRAG(vocab_size=b.vocab.size, dims=32,
+                                    n_layers=1, attn_heads=4)
+        model = BERTFoundationModel(bert=bert)
+        cfg = TrainerConfig(epochs=2, batch_size=4, warmup_steps=5,
+                            ref_pad_haps=32, steps_per_dispatch=k,
+                            output_dir=str(out), log_freq=1000)
+        t = Trainer(model, embed_fn_for(model), ds, cfg, val_ds=ds)
+        return t.fit(), t
+
+    r1, t1 = run(1, tmp_path / "k1")
+    r3, t3 = run(3, tmp_path / "k3")
+    for a, bb in zip(r1["history"], r3["history"]):
+        assert a["train_n_batches"] == bb["train_n_batches"]
+        np.testing.assert_allclose(a["train_loss"], bb["train_loss"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(a["val_hap_f1"], bb["val_hap_f1"],
+                                   rtol=1e-5)
+    p1 = jax.tree.leaves(t1.state.params)[0]
+    p3 = jax.tree.leaves(t3.state.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p3),
+                               rtol=2e-4, atol=2e-5)

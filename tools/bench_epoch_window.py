@@ -36,6 +36,8 @@ def main():
                     help="ModelConfig field=value (python literal)")
     ap.add_argument("--prefetch", type=int, default=2,
                     help="TrainerConfig.prefetch_batches")
+    ap.add_argument("--scan", type=int, default=1,
+                    help="TrainerConfig.steps_per_dispatch")
     args = ap.parse_args()
 
     run = PRESETS[args.preset]
@@ -66,7 +68,8 @@ def main():
                         ref_pad_haps=2048, curriculum_every=10_000,
                         patience=10_000, output_dir="/tmp/bench_epoch_window",
                         log_freq=10_000, seed=0, async_checkpoints=False,
-                        prefetch_batches=args.prefetch)
+                        prefetch_batches=args.prefetch,
+                        steps_per_dispatch=args.scan)
     tr = Trainer(model, embed_fn, ds, cfg, val_ds=None)
     # fit() would checkpoint each epoch; drive epochs directly.
     times = []
