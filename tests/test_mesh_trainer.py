@@ -78,3 +78,47 @@ def test_dp_index_sharded_trainer_matches_single_device(tmp_path):
     ps = jax.tree.leaves(t_single.state.params)[0]
     np.testing.assert_allclose(np.asarray(pm), np.asarray(ps),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_ctx_prefetch_overlap_matches(tmp_path):
+    """ROADMAP item 5 (within-training index-refresh overlap at scale):
+    prefetch_ctx composes with the index-sharded context — the NEXT
+    window's shard-local re-encode is dispatched while the current
+    window trains, and the result must match no-prefetch sharded
+    training exactly (1 batch/window here, so no staleness term)."""
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("need 8 cpu devices")
+
+    def build_pf(mesh, out_dir, prefetch):
+        b = make_bundle(n_train_samples=8, n_ref_samples=12, n_sites=96,
+                        n_windows=2, seed=11)
+        ds = WindowDataset(b.train, b.panel, b.freq, b.window.window_info,
+                           b.vocab, ref_vcf=b.ref, seq_len=80)
+        bert = BERTWithEmbeddingRAG(vocab_size=b.vocab.size, dims=32,
+                                    n_layers=1, attn_heads=4)
+        model = BERTFoundationModel(bert=bert)
+
+        def embed_fn(p, toks, af, deterministic, rngs=None):
+            return model.apply({"params": p}, toks, af, deterministic,
+                               method=model.embed, rngs=rngs)
+
+        cfg = TrainerConfig(epochs=1, batch_size=8, warmup_steps=10,
+                            ref_pad_haps=32, prefetch_ctx=prefetch,
+                            output_dir=str(out_dir), log_freq=1000)
+        return Trainer(model, embed_fn, ds, cfg, mesh=mesh)
+
+    mesh = make_mesh(n_data=2, n_index=4, devices=devs[:8])
+    t_pf = build_pf(mesh, tmp_path / "pf", True)
+    assert t_pf.shard_ctx
+    mesh2 = make_mesh(n_data=2, n_index=4, devices=devs[:8])
+    t_np = build_pf(mesh2, tmp_path / "np", False)
+
+    r_pf = t_pf.fit()
+    r_np = t_np.fit()
+    assert abs(r_pf["history"][0]["train_loss"]
+               - r_np["history"][0]["train_loss"]) < 1e-3
+    pm = jax.tree.leaves(t_pf.state.params)[0]
+    ps = jax.tree.leaves(t_np.state.params)[0]
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(ps),
+                               rtol=1e-5, atol=1e-6)
