@@ -379,6 +379,14 @@ def _load_infer_model(args):
     return model, embed_fn, params, rag_mode
 
 
+def _infer_mesh(args):
+    """Serving mesh from --data-parallel (None = single device)."""
+    if getattr(args, "data_parallel", 1) <= 1:
+        return None
+    from ..parallel.mesh import make_mesh
+    return make_mesh(n_data=args.data_parallel, n_index=1)
+
+
 def cmd_infer(args):
     from ..infer.imputer import Imputer
     from ..io.freq import FreqTable
@@ -393,7 +401,7 @@ def cmd_infer(args):
                   window_len=args.infer_window_len, seq_len=args.seq_len,
                   rag_k=args.rag_k if args.rag_k is not None else 1,
                   batch_size=args.batch_size, rag_mode=rag_mode,
-                  index_dir=args.index_dir)
+                  index_dir=args.index_dir, mesh=_infer_mesh(args))
     if args.save_index_dir:
         manifest = imp.save_window_indexes(args.save_index_dir, target)
         print(json.dumps({"saved_indexes": manifest}))
@@ -430,7 +438,7 @@ def cmd_serve(args):
         window_len=args.infer_window_len, seq_len=args.seq_len,
         rag_k=args.rag_k if args.rag_k is not None else 1,
         batch_size=args.batch_size, rag_mode=rag_mode,
-        index_dir=args.index_dir)
+        index_dir=args.index_dir, mesh=_infer_mesh(args))
     if args.http is not None:
         from ..infer.httpd import serve_http
         host, _, port = args.http.rpartition(":")
@@ -588,6 +596,9 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--score_bf16", action="store_true")
         p.add_argument("--no_attn_dropout", action="store_true")
         p.add_argument("--batch_size", type=int, default=32)
+        p.add_argument("--data-parallel", dest="data_parallel", type=int,
+                       default=1, help="shard query batches over this many "
+                       "devices (mesh data axis) for serving scale-out")
         p.add_argument("--rag-mode", dest="rag_mode", default=None,
                        choices=["embedding", "token", "none"],
                        help="retrieval mode; defaults to the preset's (or "

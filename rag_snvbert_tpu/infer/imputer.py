@@ -73,7 +73,8 @@ class Imputer:
                  seq_len: int = MAX_SEQ_LEN, rag_k: int = 1,
                  ref_pad_haps: int = 2048, batch_size: int = 32,
                  use_pallas: bool | None = None, window=None,
-                 rag_mode: str = "embedding", index_dir: str | None = None):
+                 rag_mode: str = "embedding", index_dir: str | None = None,
+                 mesh=None):
         """``rag_mode``: "embedding" (V18, embedding-space retrieval),
         "token" (V17, raw-token-space retrieval — the model must be a
         BERTWithRAG that re-encodes rag_seg_h{1,2}; reference
@@ -83,7 +84,14 @@ class Imputer:
         by ``save_window_indexes`` instead of re-encoding refs per window
         (the reference's on-disk FAISS index load,
         embedding_rag_infer_dataset.py:209-224).  The persisted masks must
-        match this target (same ``position_needed`` pattern)."""
+        match this target (same ``position_needed`` pattern).
+
+        ``mesh``: optional jax.sharding.Mesh for data-parallel serving —
+        query batches shard over the ``data`` axis (one forward spans all
+        chips; params + window context replicated).  ``batch_size`` must
+        be a multiple of the data-axis size.  The reference's serving
+        story is one GPU per process; scale-out here is one resident
+        model over the whole mesh."""
         assert rag_mode in ("embedding", "token", "none"), rag_mode
         self.rag_mode = rag_mode
         self.index_dir = index_dir
@@ -101,13 +109,28 @@ class Imputer:
         self.rag_k = rag_k
         self.ref_pad_haps = ref_pad_haps
         self.batch_size = batch_size
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            assert batch_size % mesh.shape[DATA_AXIS] == 0, (
+                "batch_size must divide evenly over the mesh data axis")
+            self._data_sh = NamedSharding(mesh, P(DATA_AXIS))
+            self._repl = NamedSharding(mesh, P())
+            self.params = jax.device_put(params, self._repl)
         # One jit wrapper for the imputer's lifetime: re-wrapping per
         # impute() call would retrace every request/progressive round.
         self._fwd = jax.jit(self._forward)
         if use_pallas is None:
-            leaf = jax.tree.leaves(params)[0]
-            use_pallas = getattr(getattr(leaf, "device", None),
-                                 "platform", None) == "tpu"
+            if mesh is not None:
+                platform = next(iter(mesh.devices.flat)).platform
+            else:
+                leaf = jax.tree.leaves(params)[0]
+                platform = getattr(getattr(leaf, "device", None),
+                                   "platform", None)
+            use_pallas = platform == "tpu"
         self.use_pallas = use_pallas
         n = ref_vcf.n_variants
         if window is not None:
@@ -250,6 +273,8 @@ class Imputer:
             n = e - s
             miss = ~present[s:e]                      # mask = absent sites
             ctx = self._window_ctx(w, s, e, miss)
+            if self.mesh is not None and ctx is not None:
+                ctx = jax.device_put(ctx, self._repl)
 
             # assemble queries: known alleles where present, 0 elsewhere
             rows = target_rows[s:e]
@@ -278,16 +303,24 @@ class Imputer:
                     return np.concatenate([x, np.repeat(x[:1], pad, 0)]) \
                         if pad else x
                 batch = {
-                    "hap_1": jnp.asarray(pad_rows(toks1[b0:b1])),
-                    "hap_2": jnp.asarray(pad_rows(toks2[b0:b1])),
-                    "mask": jnp.asarray(np.broadcast_to(mask_p, (bs, L))),
-                    "pos": jnp.asarray(np.broadcast_to(pos_n, (bs, L))),
-                    "af": jnp.asarray(np.broadcast_to(af_g, (bs, L))),
-                    "af_p": jnp.asarray(np.broadcast_to(row["af_p"], (bs, L))),
-                    "ref": jnp.asarray(np.broadcast_to(row["ref"], (bs, L))),
-                    "het": jnp.asarray(np.broadcast_to(row["het"], (bs, L))),
-                    "hom": jnp.asarray(np.broadcast_to(row["hom"], (bs, L))),
+                    "hap_1": pad_rows(toks1[b0:b1]),
+                    "hap_2": pad_rows(toks2[b0:b1]),
+                    "mask": np.broadcast_to(mask_p, (bs, L)),
+                    "pos": np.broadcast_to(pos_n, (bs, L)),
+                    "af": np.broadcast_to(af_g, (bs, L)),
+                    "af_p": np.broadcast_to(row["af_p"], (bs, L)),
+                    "ref": np.broadcast_to(row["ref"], (bs, L)),
+                    "het": np.broadcast_to(row["het"], (bs, L)),
+                    "hom": np.broadcast_to(row["hom"], (bs, L)),
                 }
+                if self.mesh is not None:
+                    # data-parallel serving: batch rows spread over the
+                    # mesh, one forward spans all chips
+                    batch = {k: jax.device_put(np.ascontiguousarray(v),
+                                               self._data_sh)
+                             for k, v in batch.items()}
+                else:
+                    batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 p1, p2, pg = fwd(batch, ctx)
                 # strip SOS slot and padding: body = sites s..e at 1..n
                 p1 = np.asarray(p1)[:nb, 1 : 1 + n]

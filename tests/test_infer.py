@@ -251,3 +251,35 @@ def test_http_front_end(setup, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_mesh_data_parallel_imputation_matches(setup):
+    """Data-parallel serving: the same imputation sharded over a 4-device
+    data axis must reproduce single-device results exactly (params and
+    window context replicated; only the batch dimension is split)."""
+    import pytest
+
+    from rag_snvbert_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices("cpu")
+    if len(devs) < 4:
+        pytest.skip("need 4 cpu devices")
+    b, model, embed_fn, params, seq_len = setup
+    rng = np.random.default_rng(21)
+    keep = rng.random(b.train.n_variants) > 0.4
+    target = drop_sites(b.train, keep)
+
+    kw = dict(window_len=seq_len - 10, seq_len=seq_len, ref_pad_haps=64,
+              batch_size=8, use_pallas=False)
+    single = Imputer(model, embed_fn, params, b.ref, b.freq, **kw)
+    mesh = make_mesh(n_data=4, n_index=1, devices=devs[:4])
+    sharded = Imputer(model, embed_fn, params, b.ref, b.freq,
+                      mesh=mesh, **kw)
+
+    r1 = single.impute(target)
+    r2 = sharded.impute(target)
+    np.testing.assert_allclose(r2.hap1_prob, r1.hap1_prob,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(r2.gt_prob, r1.gt_prob,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(r2.imputed_flag, r1.imputed_flag)
