@@ -1,1 +1,2 @@
 from .imputer import ImputationResult, Imputer
+from .serve import ImputationService
