@@ -24,6 +24,7 @@ TPU-native re-design:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -117,12 +118,18 @@ def apply_token_mask(tokens: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.where(mask.astype(bool)[None, :], jnp.int32(MASK), tokens)
 
 
+@partial(jax.jit, static_argnames=("embed_fn", "dtype"))
 def encode_window_refs(embed_fn: Callable, params: Any,
                        ref_tokens: jax.Array, ref_af: jax.Array,
                        window_mask: jax.Array,
                        valid: jax.Array | None = None,
                        dtype=jnp.bfloat16) -> WindowRefContext:
     """Build the search context for one window (the "JIT GPU index build").
+
+    Jitted here (not at call sites): eager execution materializes every
+    [N, L, D] f32 temporary of the embed pipeline — several GB each at
+    2048 haplotypes — and the un-fused peak HBM can OOM a serving
+    process; one fused program keeps the peak at ~the bf16 output.
 
     Args:
       embed_fn: ``(params, tokens [N, L], af [N, L], deterministic) -> emb``
