@@ -269,12 +269,22 @@ class Imputer:
         L = self.seq_len
         bs = self.batch_size
 
+        def make_ctx(w):
+            s, e = self.windows[w]
+            ctx = self._window_ctx(w, s, e, ~present[s:e])
+            if self.mesh is not None and ctx is not None:
+                ctx = jax.device_put(ctx, self._repl)
+            return ctx
+
+        # One-window ctx lookahead: the NEXT window's (jitted, async)
+        # reference encode is dispatched before this window's forwards
+        # are fetched, so the refresh rides behind them on device —
+        # serving-side version of the trainer's prefetch_ctx overlap.
+        next_ctx = make_ctx(0) if self.windows else None
         for w, (s, e) in enumerate(self.windows):
             n = e - s
             miss = ~present[s:e]                      # mask = absent sites
-            ctx = self._window_ctx(w, s, e, miss)
-            if self.mesh is not None and ctx is not None:
-                ctx = jax.device_put(ctx, self._repl)
+            ctx = next_ctx
 
             # assemble queries: known alleles where present, 0 elsewhere
             rows = target_rows[s:e]
@@ -295,6 +305,7 @@ class Imputer:
             af_g = sequence_padding(self.freq.lookup(
                 AF, self.freq.global_idx, positions), L)
 
+            pending = []   # (b0, b1, nb, device outputs) — fetch later
             for b0 in range(0, n_samp, bs):
                 b1 = min(b0 + bs, n_samp)
                 nb = b1 - b0
@@ -321,7 +332,13 @@ class Imputer:
                              for k, v in batch.items()}
                 else:
                     batch = {k: jnp.asarray(v) for k, v in batch.items()}
-                p1, p2, pg = fwd(batch, ctx)
+                pending.append((b0, b1, nb, fwd(batch, ctx)))
+            # All of this window's forwards are dispatched; queue the
+            # NEXT window's encode behind them, then fetch — the encode
+            # runs on device while the host scatters results back.
+            if w + 1 < len(self.windows):
+                next_ctx = make_ctx(w + 1)
+            for b0, b1, nb, (p1, p2, pg) in pending:
                 # strip SOS slot and padding: body = sites s..e at 1..n
                 p1 = np.asarray(p1)[:nb, 1 : 1 + n]
                 p2 = np.asarray(p2)[:nb, 1 : 1 + n]
