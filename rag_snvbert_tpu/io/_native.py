@@ -91,3 +91,33 @@ def native_read_gt(path: str) -> tuple[np.ndarray, np.ndarray] | None:
                     got, n_variants)
         return None
     return gt.reshape(n_variants, n_samples, 2), pos
+
+
+def native_write_vcf_body(path: str, prefixes: bytes,
+                          prefix_off: np.ndarray,
+                          p1: np.ndarray, p2: np.ndarray) -> bool:
+    """Append the per-sample GT:HDS:GP:DS body to an already-written
+    header via the C++ writer.  Returns False (caller falls back to the
+    Python formatter) if the native library is unavailable or fails."""
+    lib = get_vcf_reader()
+    if lib is None:
+        return False
+    if not hasattr(lib, "_write_bound"):
+        lib.vcf_write_body.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_longlong, ctypes.c_longlong]
+        lib.vcf_write_body.restype = ctypes.c_longlong
+        lib._write_bound = True
+    n_v, n_s = p1.shape
+    got = lib.vcf_write_body(
+        path.encode(), 1 if str(path).endswith(".gz") else 0,
+        prefixes, np.ascontiguousarray(prefix_off, np.int64),
+        np.ascontiguousarray(p1, np.float32),
+        np.ascontiguousarray(p2, np.float32), n_v, n_s)
+    if got != n_v:
+        log.warning("native VCF write returned %d of %d variants", got, n_v)
+        return False
+    return True

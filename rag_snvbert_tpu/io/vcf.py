@@ -275,6 +275,30 @@ def write_imputed_vcf(path: str, chrom, pos, ref, alt, samples,
         f.write(_HEADER)
         f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
                 + "\t".join(samples) + "\n")
+
+    # Fast path: per-variant prefixes formatted here (cheap), the
+    # n_v x n_s sample fields rendered by the C++ writer appended after
+    # the header (native/vcf_reader.cpp::vcf_write_body) — the Python
+    # f-string loop below costs more than the imputation itself at
+    # chromosome scale.  Rounding differs from Python's %.3f only at
+    # half-ULP ties (fixed-point half-up vs round-half-even).
+    from ._native import native_write_vcf_body
+
+    prefix_rows = []
+    for v in range(n_v):
+        info = "IMPUTED" if (imputed_flag is not None
+                             and imputed_flag[v]) else "."
+        prefix_rows.append(f"{chrom[v]}\t{int(pos[v])}\t.\t{ref[v]}\t"
+                           f"{alt[v]}\t.\tPASS\t{info}\tGT:HDS:GP:DS")
+    blob = "".join(prefix_rows).encode()
+    off = np.zeros(n_v + 1, np.int64)
+    np.cumsum([len(r.encode()) for r in prefix_rows], out=off[1:])
+    if native_write_vcf_body(str(path), blob, off,
+                             np.asarray(hap1_prob, np.float32),
+                             np.asarray(hap2_prob, np.float32)):
+        return
+
+    with opener(path, "at") as f:
         for start in range(0, n_v, chunk):
             end = min(start + chunk, n_v)
             p1 = hap1_prob[start:end]

@@ -57,3 +57,80 @@ def test_native_missing_and_haploid(tmp_path):
 
 def test_native_nonexistent_file():
     assert native_read_gt("/does/not/exist.vcf") is None
+
+
+def _write_both(tmp_path, suffix=""):
+    from rag_snvbert_tpu.io import _native
+    from rag_snvbert_tpu.io.vcf import write_imputed_vcf
+
+    n_v, n_s = 200, 5
+    rng = np.random.default_rng(4)
+    h1 = rng.random((n_v, n_s)).astype(np.float32)
+    h2 = rng.random((n_v, n_s)).astype(np.float32)
+    meta = dict(chrom=np.asarray(["21"] * n_v, object),
+                pos=np.arange(1, n_v + 1),
+                ref=np.asarray(["A"] * n_v, object),
+                alt=np.asarray(["G"] * n_v, object))
+    flag = rng.random(n_v) < 0.5
+    samples = [f"S{i}" for i in range(n_s)]
+    pn = str(tmp_path / ("nat.vcf" + suffix))
+    pp = str(tmp_path / ("py.vcf" + suffix))
+    write_imputed_vcf(pn, meta["chrom"], meta["pos"], meta["ref"],
+                      meta["alt"], samples, h1, h2, imputed_flag=flag)
+    orig = _native.native_write_vcf_body
+    _native.native_write_vcf_body = lambda *a, **k: False
+    try:
+        write_imputed_vcf(pp, meta["chrom"], meta["pos"], meta["ref"],
+                          meta["alt"], samples, h1, h2, imputed_flag=flag)
+    finally:
+        _native.native_write_vcf_body = orig
+    return pn, pp
+
+
+def _assert_vcf_equivalent(pn, pp, opener=open):
+    with opener(pn, "rt") as f:
+        ln = f.read().splitlines()
+    with opener(pp, "rt") as f:
+        lp = f.read().splitlines()
+    assert len(ln) == len(lp)
+    for a, b in zip(ln, lp):
+        if a == b:
+            continue
+        ca, cb = a.split("\t"), b.split("\t")
+        assert ca[:9] == cb[:9]
+        for fa, fb in zip(ca[9:], cb[9:]):
+            assert fa.split(":")[0] == fb.split(":")[0]   # GT identical
+            xs = fa.replace(":", ",").split(",")[1:]
+            ys = fb.replace(":", ",").split(",")[1:]
+            for xa, xb in zip(xs, ys):   # floats: half-ULP ties only
+                assert abs(float(xa) - float(xb)) <= 1.1e-3, (fa, fb)
+
+
+def test_native_vcf_writer_matches_python(tmp_path):
+    """C++ body writer vs the Python f-string formatter: identical GT
+    calls and prefix columns; float fields differ at most by one
+    half-ULP %.3f rounding tie."""
+    from rag_snvbert_tpu.io._native import get_vcf_reader
+
+    if get_vcf_reader() is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    pn, pp = _write_both(tmp_path)
+    _assert_vcf_equivalent(pn, pp)
+
+
+def test_native_vcf_writer_gzip_roundtrip(tmp_path):
+    """.gz path: header member + appended body member parse as one valid
+    gzip VCF equal to the Python-path file."""
+    import gzip
+
+    from rag_snvbert_tpu.io._native import get_vcf_reader
+
+    if get_vcf_reader() is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    pn, pp = _write_both(tmp_path, suffix=".gz")
+    _assert_vcf_equivalent(pn, pp, opener=gzip.open)
+    from rag_snvbert_tpu.io.vcf import read_vcf
+    v = read_vcf(pn)          # parses back through the reader
+    assert v.n_variants == 200 and v.n_samples == 5
