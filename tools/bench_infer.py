@@ -52,8 +52,11 @@ def main():
                     seed=17)
     model = run.build_model(b.vocab.size)
     from rag_snvbert_tpu.models import init_batch
+    ib = init_batch(1, seq_len, m.dims,
+                    with_rag_emb=(m.rag_mode == "embedding"),
+                    with_rag_seg=(m.rag_mode == "token"))
     params = jax.jit(lambda k: model.init(
-        k, init_batch(1, seq_len, m.dims)))(jax.random.key(0))["params"]
+        k, ib))(jax.random.key(0))["params"]
 
     def embed_fn(p, toks, af, deterministic, rngs=None):
         return model.apply({"params": p}, toks, af, deterministic,
@@ -69,7 +72,8 @@ def main():
 
     imp = Imputer(model, embed_fn, params, b.ref, b.freq,
                   window_len=win, seq_len=seq_len, batch_size=args.batch,
-                  window=Window(b.window.window_info))
+                  window=Window(b.window.window_info),
+                  rag_mode=m.rag_mode)
     t0 = time.time()
     imp.impute(target)          # warmup: compiles ctx encode + forward
     warm = time.time() - t0
