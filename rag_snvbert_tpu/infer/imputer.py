@@ -276,17 +276,11 @@ class Imputer:
                 ctx = jax.device_put(ctx, self._repl)
             return ctx
 
-        # One-window ctx lookahead: the NEXT window's (jitted, async)
-        # reference encode is dispatched before this window's forwards
-        # are fetched, so the refresh rides behind them on device —
-        # serving-side version of the trainer's prefetch_ctx overlap.
-        next_ctx = make_ctx(0) if self.windows else None
-        for w, (s, e) in enumerate(self.windows):
-            n = e - s
+        def assemble(w):
+            """Host-side query assembly for one window (pure numpy):
+            known alleles where present, 0 elsewhere."""
+            s, e = self.windows[w]
             miss = ~present[s:e]                      # mask = absent sites
-            ctx = next_ctx
-
-            # assemble queries: known alleles where present, 0 elsewhere
             rows = target_rows[s:e]
             h1 = np.where(present[s:e][:, None],
                           target.gt[np.minimum(rows, len(target.pos) - 1), :, 0],
@@ -297,13 +291,28 @@ class Imputer:
             mask_p = sequence_padding(miss.astype(np.int32), L)
             toks1 = tokenize(h1, mask_p, L).astype(np.int32)
             toks2 = tokenize(h2, mask_p, L).astype(np.int32)
-
             positions = self.ref_vcf.pos[s:e]
             feats = self.freq.window_features(positions, pop_idx)
             row = {k: sequence_padding(v, L) for k, v in feats.items()}
             pos_n = sequence_padding(position_normalize(positions), L)
             af_g = sequence_padding(self.freq.lookup(
                 AF, self.freq.global_idx, positions), L)
+            return toks1, toks2, mask_p, row, pos_n, af_g
+
+        # One-window ctx lookahead + threaded query assembly: the NEXT
+        # window's (jitted, async) reference encode is dispatched before
+        # this window's forwards are fetched (the refresh rides behind
+        # them on device — serving-side prefetch_ctx), while a daemon
+        # thread assembles the next window's numpy queries.
+        from ..data.prefetch import prefetch_iter
+
+        assembled = prefetch_iter(
+            (assemble(w) for w in range(len(self.windows))), size=1)
+        next_ctx = make_ctx(0) if self.windows else None
+        for w, (s, e) in enumerate(self.windows):
+            n = e - s
+            ctx = next_ctx
+            toks1, toks2, mask_p, row, pos_n, af_g = next(assembled)
 
             pending = []   # (b0, b1, nb, device outputs) — fetch later
             for b0 in range(0, n_samp, bs):
