@@ -239,6 +239,7 @@ def _resolve_trainer_config(args, base):
         rng_impl=args.rng_impl, prefetch_ctx=args.prefetch_ctx,
         prefetch_batches=args.prefetch_batches,
         mask_schedule=args.mask_schedule,
+        steps_per_dispatch=args.steps_per_dispatch,
         shard_ctx={"auto": "auto", "on": True, "off": False}[args.shard_ctx],
         ctx_merge=args.ctx_merge)
 
@@ -571,6 +572,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "encode behind the current window's steps")
     pt.add_argument("--prefetch-batches", dest="prefetch_batches", type=int,
                     default=2, help="host batch prefetch depth (0 = sync)")
+    pt.add_argument("--steps-per-dispatch", dest="steps_per_dispatch",
+                    type=int, default=1,
+                    help="fuse K same-window train steps into one jitted "
+                         "dispatch (lax.scan; amortizes per-dispatch link "
+                         "latency, identical semantics)")
     pt.add_argument("--rng-impl", dest="rng_impl",
                     choices=["rbg", "threefry2x32"], default="rbg")
     pt.add_argument("--mask-schedule", dest="mask_schedule",
