@@ -67,6 +67,12 @@ class WindowDataset:
         self.seq_len = seq_len
         self.pop_class = np.asarray(
             [panel.pop_to_class[p] for p in panel.pop_list], np.int64)
+        # Static population-class count: packed batches carry feature rows
+        # for ALL classes so the wire shape never depends on which
+        # populations happen to be present in a given batch (shape-stable
+        # for jit and for stacked multi-step dispatch).
+        self.n_pop_classes = len(panel.pop_to_class)
+        self._feat_cache: tuple[int, np.ndarray] | None = None
 
         ref_pos = ref_vcf.pos if ref_vcf is not None else None
         self.ref_vcf = ref_vcf
@@ -118,6 +124,28 @@ class WindowDataset:
         raw = masking.af_guided_mask(af, level, seed, meta.window_idx)
         return sequence_padding(raw, self.seq_len)
 
+    def window_feat_rows(self, meta: WindowMeta) -> np.ndarray:
+        """Per-population frequency-feature rows [n_pop_classes, L, 4]
+        (af_p, ref, het, hom) in padded coordinates.
+
+        Batch-independent — computed once per window and cached (the
+        window-major iteration order makes a one-slot cache a 100% hit
+        within a window).  Always covering the full dataset-wide class
+        set keeps the packed wire shape static regardless of which
+        populations a particular batch's samples belong to.
+        """
+        if self._feat_cache is not None and \
+                self._feat_cache[0] == meta.window_idx:
+            return self._feat_cache[1]
+        names = ("af_p", "ref", "het", "hom")
+        rows = np.zeros((self.n_pop_classes, self.seq_len, 4), np.float32)
+        for p in range(self.n_pop_classes):
+            fr = self.freq.window_features(meta.positions, p)
+            for j, nm in enumerate(names):
+                rows[p, :, j] = sequence_padding(fr[nm], self.seq_len)
+        self._feat_cache = (meta.window_idx, rows)
+        return rows
+
     def make_batch(self, meta: WindowMeta, sample_ids: np.ndarray,
                    level: int, seed: int,
                    pad_to: int | None = None,
@@ -149,19 +177,13 @@ class WindowDataset:
         pos_n = sequence_padding(position_normalize(meta.positions), L)
         af_g = sequence_padding(self.window_af(meta), L)
 
-        # Per-population feature rows once, then one vectorized per-sample
-        # gather (no python loop over the batch — it sat on the critical
-        # path between device steps).
+        # Per-population feature rows once per WINDOW (cached, covering the
+        # full static class set), then one vectorized per-sample gather (no
+        # python loop over the batch — it sat on the critical path between
+        # device steps).
         b = len(sample_ids)
-        batch_pops = self.pop_class[sample_ids]
-        pops = np.unique(batch_pops)
-        names = ("af_p", "ref", "het", "hom")
-        rows = {nm: np.zeros((len(pops), L), np.float32) for nm in names}
-        for r_i, p in enumerate(pops):
-            fr = self.freq.window_features(meta.positions, int(p))
-            for nm in names:
-                rows[nm][r_i] = sequence_padding(fr[nm], L)
-        sel = np.searchsorted(pops, batch_pops)          # [B] row per sample
+        rows = self.window_feat_rows(meta)               # [P, L, 4] static P
+        sel = self.pop_class[sample_ids]                 # [B] row per sample
 
         itype = np.int8 if packed else np.int32
         batch = {
@@ -175,15 +197,15 @@ class WindowDataset:
         if packed:
             batch["pos"] = pos_n.astype(np.float32)          # [L]
             batch["af"] = af_g.astype(np.float32)            # [L]
-            batch["feat_rows"] = np.stack([rows[nm] for nm in names],
-                                          axis=-1)           # [P, L, 4]
+            batch["feat_rows"] = rows                        # [P, L, 4]
             batch["feat_sel"] = sel.astype(np.int8)          # [B]
         else:
-            af_p, ref, het, hom = (rows[nm][sel] for nm in names)
+            feats = rows[sel]                                # [B, L, 4]
             batch.update({
                 "pos": np.broadcast_to(pos_n, (b, L)).astype(np.float32).copy(),
                 "af": np.broadcast_to(af_g, (b, L)).astype(np.float32).copy(),
-                "af_p": af_p, "ref": ref, "het": het, "hom": hom,
+                "af_p": feats[..., 0], "ref": feats[..., 1],
+                "het": feats[..., 2], "hom": feats[..., 3],
             })
         window_level = {"pos", "af", "feat_rows"} if packed else set()
         if pad_to is not None and pad_to > b:

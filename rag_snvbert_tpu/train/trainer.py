@@ -237,6 +237,9 @@ class Trainer:
                 "batch_size must divide evenly over the data axis")
             self._repl = NamedSharding(self.mesh, P())
             self._data_sh = NamedSharding(self.mesh, P("data"))
+            # Stacked [K, B, ...] scan chunks: the leading axis is scan
+            # steps, NOT batch — shard axis 1 over data, replicate axis 0.
+            self._scan_sh = NamedSharding(self.mesh, P(None, "data"))
             self.state = jax.device_put(self.state, self._repl)
         leaf = jax.tree.leaves(self.state.params)[0]
         platform = getattr(getattr(leaf, "device", None), "platform", None)
@@ -246,6 +249,31 @@ class Trainer:
         # auto-selects by workload size.
         self.step_cfg = dataclasses.replace(
             self.step_cfg, use_pallas=None if platform == "tpu" else False)
+
+    # Packed-batch leaves that carry no batch dimension (window-level):
+    # replicated on a mesh instead of data-sharded.
+    _WINDOW_LEVEL_KEYS = frozenset({"pos", "af", "feat_rows"})
+
+    def _put_batch(self, batch: dict, stacked: bool) -> dict:
+        """Transfer a host batch to device(s) with per-key shardings.
+
+        Single device: plain jnp.asarray.  Mesh: batch-dim leaves shard
+        over the ``data`` axis (axis 1 when ``stacked`` — axis 0 is scan
+        steps); window-level packed leaves replicate.  Idempotent on
+        already-transferred leaves (the prefetch thread uses it too).
+        """
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        out = {}
+        for k, v in batch.items():
+            if k in self._WINDOW_LEVEL_KEYS:
+                sh = self._repl
+            elif stacked:
+                sh = self._scan_sh
+            else:
+                sh = self._data_sh
+            out[k] = jax.device_put(v, sh)
+        return out
 
     # ---- retrieval context management (the JIT index cache, functional) ----
 
@@ -304,14 +332,14 @@ class Trainer:
         ctx = None
         prefetched: dict[int, object] = {}
         use_rag = ds.ref_vcf is not None and self.cfg.rag_mode != "none"
-        # Single-device: ship the compact wire format (int8 tokens, [L]
-        # window features) and expand on device — ~5x fewer bytes over
-        # the host->device link per step.  The mesh path keeps the
-        # expanded layout: its per-key shardings assume a leading batch
-        # dim on every leaf.
+        # Ship the compact wire format (int8 tokens, [L] window features,
+        # [P, L, 4] feature rows) and expand on device — ~5x fewer bytes
+        # over the host->device link per step.  On a mesh the per-key
+        # shardings in _put_batch replicate the window-level leaves and
+        # shard the batch-dim leaves over ``data``.
         batch_iter = ds.epoch_batches(bs, epoch, level, shuffle=train,
                                       seed=seed, sample_ids=sample_ids,
-                                      packed=self.mesh is None)
+                                      packed=True)
         k_scan = self.cfg.steps_per_dispatch if train else 1
         if k_scan > 1:
             batch_iter = _chunk_batches(batch_iter, k_scan)
@@ -322,14 +350,11 @@ class Trainer:
             # so it overlaps the previous step's compute instead of
             # sitting between steps.  The loop-body conversion below
             # then no-ops on the transferred arrays.
-            if self.mesh is not None:
-                put = lambda b: {k: jax.device_put(v, self._data_sh)
-                                 for k, v in b.items()}
-            else:
-                put = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
             batch_iter = prefetch_iter(
                 batch_iter, size=self.cfg.prefetch_batches,
-                transform=lambda mb: (mb[0], put(mb[1])))
+                transform=lambda mb: (mb[0],
+                                      self._put_batch(mb[1],
+                                                      stacked=k_scan > 1)))
         for meta, np_batch, next_meta in _with_lookahead(batch_iter):
             if use_rag and meta.window_idx != current_wid:
                 # Window switch -> rebuild the derived retrieval context
@@ -350,11 +375,7 @@ class Trainer:
                 prefetched.clear()
                 prefetched[next_meta.window_idx] = self._window_ctx(
                     ds, next_meta, level, seed)
-            if self.mesh is not None:
-                batch = {k: jax.device_put(v, self._data_sh)
-                         for k, v in np_batch.items()}
-            else:
-                batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+            batch = self._put_batch(np_batch, stacked=k_scan > 1)
             step_mesh = self.mesh if self.shard_ctx else None
             if k_scan > 1:
                 self.state, stats, acc = train_step_scan(

@@ -80,6 +80,48 @@ def test_dp_index_sharded_trainer_matches_single_device(tmp_path):
                                rtol=2e-3, atol=2e-4)
 
 
+def test_mesh_steps_per_dispatch_matches_single_device(tmp_path):
+    """steps_per_dispatch composes with a data-parallel mesh (round-2
+    ADVICE): stacked [K, B, ...] chunks shard axis 1 (batch) over data
+    and replicate the scan axis; K=3 over 2 batches/window exercises a
+    short trailing chunk whose K does not divide the data axis."""
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("need 8 cpu devices")
+
+    def build_k(mesh, out_dir, k):
+        b = make_bundle(n_train_samples=8, n_ref_samples=12, n_sites=96,
+                        n_windows=2, seed=11)
+        ds = WindowDataset(b.train, b.panel, b.freq, b.window.window_info,
+                           b.vocab, ref_vcf=b.ref, seq_len=80)
+        bert = BERTWithEmbeddingRAG(vocab_size=b.vocab.size, dims=32,
+                                    n_layers=1, attn_heads=4)
+        model = BERTFoundationModel(bert=bert)
+
+        def embed_fn(p, toks, af, deterministic, rngs=None):
+            return model.apply({"params": p}, toks, af, deterministic,
+                               method=model.embed, rngs=rngs)
+
+        cfg = TrainerConfig(epochs=1, batch_size=4, warmup_steps=10,
+                            ref_pad_haps=32, steps_per_dispatch=k,
+                            output_dir=str(out_dir), log_freq=1000)
+        return Trainer(model, embed_fn, ds, cfg, mesh=mesh)
+
+    mesh = make_mesh(n_data=2, n_index=1, devices=devs[:2])
+    t_mesh = build_k(mesh, tmp_path / "mesh_k3", 3)
+    t_single = build_k(None, tmp_path / "single_k1", 1)
+
+    r_mesh = t_mesh.fit()
+    r_single = t_single.fit()
+    lm = r_mesh["history"][0]["train_loss"]
+    ls = r_single["history"][0]["train_loss"]
+    assert abs(lm - ls) / max(abs(ls), 1.0) < 1e-3
+    pm = jax.tree.leaves(t_mesh.state.params)[0]
+    ps = jax.tree.leaves(t_single.state.params)[0]
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(ps),
+                               rtol=2e-3, atol=2e-4)
+
+
 def test_sharded_ctx_prefetch_overlap_matches(tmp_path):
     """ROADMAP item 5 (within-training index-refresh overlap at scale):
     prefetch_ctx composes with the index-sharded context — the NEXT

@@ -175,3 +175,35 @@ def test_steps_per_dispatch_matches_per_step(tmp_path):
     p3 = jax.tree.leaves(t3.state.params)[0]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p3),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_steps_per_dispatch_multi_pop_cohort(tmp_path):
+    """Regression (round-2 VERDICT confirmed bug): with a multi-population
+    cohort whose batches differ in population composition (10 samples,
+    batch 4 -> the trailing batch has a different pop set), packed
+    feat_rows must stay shape-stable so _chunk_batches can stack them and
+    a single jitted step serves every batch."""
+    from rag_snvbert_tpu.models import BERTWithEmbeddingRAG
+
+    b = make_bundle(n_train_samples=10, n_ref_samples=10, n_sites=96,
+                    n_windows=2, n_pops=3, seed=7)
+    ds = WindowDataset(b.train, b.panel, b.freq, b.window.window_info,
+                       b.vocab, ref_vcf=b.ref, seq_len=80)
+    # every batch of any sample subset carries the full static class set
+    shapes = {ds.make_batch(m, ids, level=0, seed=0, pad_to=4,
+                            packed=True)["feat_rows"].shape
+              for m in ds.windows
+              for ids in (np.arange(4), np.arange(4, 8), np.arange(8, 10))}
+    assert shapes == {(3, 80, 4)}
+
+    bert = BERTWithEmbeddingRAG(vocab_size=b.vocab.size, dims=32,
+                                n_layers=1, attn_heads=4)
+    model = BERTFoundationModel(bert=bert)
+    cfg = TrainerConfig(epochs=1, batch_size=4, warmup_steps=5,
+                        ref_pad_haps=32, steps_per_dispatch=3,
+                        output_dir=str(tmp_path), log_freq=1000)
+    t = Trainer(model, embed_fn_for(model), ds, cfg)
+    res = t.fit()
+    assert np.isfinite(res["history"][0]["train_loss"])
+    # 10 samples @ bs 4 -> 3 batches/window x 2 windows
+    assert res["history"][0]["train_n_batches"] == 6
