@@ -11,6 +11,11 @@ from rag_snvbert_tpu.models import BERTFoundationModel, BERTWithEmbeddingRAG
 from rag_snvbert_tpu.parallel.mesh import make_mesh
 from rag_snvbert_tpu.train.trainer import Trainer, TrainerConfig
 
+# Heavy tier: full training loops / multi-device compiles — minutes on
+# one core.  The fast inner loop is `pytest -m "not slow"`.
+pytestmark = pytest.mark.slow
+
+
 
 def build(mesh, out_dir, epochs=1):
     b = make_bundle(n_train_samples=8, n_ref_samples=12, n_sites=96,

@@ -18,6 +18,10 @@ import pytest
 from tests.make_quality_ckpt import (BUNDLE_KW, DIMS, SEQ_LEN,
                                      build_model_and_ds)
 
+# Heavy tier: full training loops / multi-device compiles — minutes on
+# one core.  The fast inner loop is `pytest -m "not slow"`.
+pytestmark = pytest.mark.slow
+
 CKPT = os.path.join(os.path.dirname(__file__), "assets", "quality_ckpt.npz")
 
 

@@ -13,6 +13,10 @@ from rag_snvbert_tpu.train.retrieval import encode_window_refs, retrieve
 from rag_snvbert_tpu.train.sharded_retrieval import (
     ShardedWindowRefContext, encode_window_refs_sharded, retrieve_sharded)
 
+# Heavy tier: full training loops / multi-device compiles — minutes on
+# one core.  The fast inner loop is `pytest -m "not slow"`.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():

@@ -12,6 +12,12 @@ from rag_snvbert_tpu.train.retrieval import (build_token_window_ctx,
                                              retrieve_tokens)
 from rag_snvbert_tpu.train.schedule import make_optimizer
 from rag_snvbert_tpu.train.step import StepConfig, TrainState, train_step
+import pytest
+
+# Heavy tier: full training loops / multi-device compiles — minutes on
+# one core.  The fast inner loop is `pytest -m "not slow"`.
+pytestmark = pytest.mark.slow
+
 
 
 def test_token_ctx_and_retrieval(rng):

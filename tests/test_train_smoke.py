@@ -10,6 +10,11 @@ from rag_snvbert_tpu.io.synthetic import make_bundle
 from rag_snvbert_tpu.models import (BERTFoundationModel, BERTWithEmbeddingRAG)
 from rag_snvbert_tpu.train.trainer import Trainer, TrainerConfig
 
+# Heavy tier: full training loops / multi-device compiles — minutes on
+# one core.  The fast inner loop is `pytest -m "not slow"`.
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def setup(tmp_path_factory):

@@ -9,6 +9,11 @@ from rag_snvbert_tpu.io.synthetic import make_bundle
 from rag_snvbert_tpu.models import (BERT, BERTFoundationModel, BERTWithRAG)
 from rag_snvbert_tpu.train.trainer import Trainer, TrainerConfig
 
+# Heavy tier: full training loops / multi-device compiles — minutes on
+# one core.  The fast inner loop is `pytest -m "not slow"`.
+pytestmark = pytest.mark.slow
+
+
 
 def make_ds(seq_len=80):
     b = make_bundle(n_train_samples=8, n_ref_samples=10, n_sites=96,
