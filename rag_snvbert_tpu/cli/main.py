@@ -443,6 +443,9 @@ def cmd_serve(args):
     if args.http is not None:
         from ..infer.httpd import serve_http
         host, _, port = args.http.rpartition(":")
+        if not port.isdigit():
+            raise SystemExit(
+                f"serve: --http expects [HOST:]PORT, got {args.http!r}")
         serve_http(svc, host or "127.0.0.1", int(port))
         return
     print(json.dumps({"ready": True, "ref_sites": ref_vcf.n_variants}),

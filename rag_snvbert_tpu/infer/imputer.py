@@ -74,7 +74,7 @@ class Imputer:
                  ref_pad_haps: int = 2048, batch_size: int = 32,
                  use_pallas: bool | None = None, window=None,
                  rag_mode: str = "embedding", index_dir: str | None = None,
-                 mesh=None):
+                 mesh=None, pipeline_depth: int = 8):
         """``rag_mode``: "embedding" (V18, embedding-space retrieval),
         "token" (V17, raw-token-space retrieval — the model must be a
         BERTWithRAG that re-encodes rag_seg_h{1,2}; reference
@@ -109,6 +109,7 @@ class Imputer:
         self.rag_k = rag_k
         self.ref_pad_haps = ref_pad_haps
         self.batch_size = batch_size
+        self.pipeline_depth = max(int(pipeline_depth), 1)
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -314,7 +315,23 @@ class Imputer:
             ctx = next_ctx
             toks1, toks2, mask_p, row, pos_n, af_g = next(assembled)
 
-            pending = []   # (b0, b1, nb, device outputs) — fetch later
+            def scatter(b0, b1, nb, out):
+                p1, p2, pg = out
+                # strip SOS slot and padding: body = sites s..e at 1..n
+                p1 = np.asarray(p1)[:nb, 1 : 1 + n]
+                p2 = np.asarray(p2)[:nb, 1 : 1 + n]
+                pg = np.asarray(pg)[:nb, 1 : 1 + n]
+                hap1[s:e, b0:b1] = p1.T
+                hap2[s:e, b0:b1] = p2.T
+                gtp[s:e, b0:b1] = pg.transpose(1, 0, 2)
+
+            # (b0, b1, nb, device outputs) — fetched a few batches behind
+            # the dispatch stream.  The depth bound caps device-resident
+            # outputs at O(depth * bs * L * 24B) instead of a whole
+            # window's worth (biobank-scale cohorts would otherwise OOM
+            # HBM); draining the oldest entry syncs only on work that is
+            # several dispatches deep in the async stream.
+            pending = []
             for b0 in range(0, n_samp, bs):
                 b1 = min(b0 + bs, n_samp)
                 nb = b1 - b0
@@ -342,27 +359,30 @@ class Imputer:
                 else:
                     batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 pending.append((b0, b1, nb, fwd(batch, ctx)))
+                if len(pending) > self.pipeline_depth:
+                    scatter(*pending.pop(0))
             # All of this window's forwards are dispatched; queue the
             # NEXT window's encode behind them, then fetch — the encode
             # runs on device while the host scatters results back.
             if w + 1 < len(self.windows):
                 next_ctx = make_ctx(w + 1)
-            for b0, b1, nb, (p1, p2, pg) in pending:
-                # strip SOS slot and padding: body = sites s..e at 1..n
-                p1 = np.asarray(p1)[:nb, 1 : 1 + n]
-                p2 = np.asarray(p2)[:nb, 1 : 1 + n]
-                pg = np.asarray(pg)[:nb, 1 : 1 + n]
-                hap1[s:e, b0:b1] = p1.T
-                hap2[s:e, b0:b1] = p2.T
-                gtp[s:e, b0:b1] = pg.transpose(1, 0, 2)
+            for item in pending:
+                scatter(*item)
 
-        # Known sites keep their observed alleles (probability 0/1).
+        # Known sites keep their observed alleles (probability 0/1); the
+        # genotype matrix follows so every emitted artifact (VCF GP is
+        # recomputed from hap probs, .GT.npy is gt_prob) agrees at
+        # observed sites.
         known = present
         kr = np.minimum(target_rows, max(len(target.pos) - 1, 0))
         obs1 = target.gt[kr, :, 0].astype(np.float32)
         obs2 = target.gt[kr, :, 1].astype(np.float32)
         hap1[known] = obs1[known]
         hap2[known] = obs2[known]
+        o1, o2 = obs1[known], obs2[known]
+        # class order (h1<<1)+h2: p00, p01, p10, p11
+        gtp[known] = np.stack([(1 - o1) * (1 - o2), (1 - o1) * o2,
+                               o1 * (1 - o2), o1 * o2], axis=-1)
         return ImputationResult(hap1_prob=hap1, hap2_prob=hap2, gt_prob=gtp,
                                 pos=self.ref_vcf.pos.copy(),
                                 imputed_flag=~present)

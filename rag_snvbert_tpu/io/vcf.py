@@ -293,10 +293,19 @@ def write_imputed_vcf(path: str, chrom, pos, ref, alt, samples,
     blob = "".join(prefix_rows).encode()
     off = np.zeros(n_v + 1, np.int64)
     np.cumsum([len(r.encode()) for r in prefix_rows], out=off[1:])
+    header_size = os.path.getsize(path)
     if native_write_vcf_body(str(path), blob, off,
                              np.asarray(hap1_prob, np.float32),
                              np.asarray(hap2_prob, np.float32)):
         return
+    # The native writer may have flushed some rows before failing (I/O
+    # error mid-body): truncate back to the bare header so the Python
+    # fallback never appends a second body after partial native rows.
+    # For .gz the header is a complete gzip member and the fallback
+    # appends a new member, so the truncation point is member-aligned.
+    if os.path.getsize(path) != header_size:
+        with open(path, "rb+") as raw:
+            raw.truncate(header_size)
 
     with opener(path, "at") as f:
         for start in range(0, n_v, chunk):

@@ -119,6 +119,44 @@ def test_native_vcf_writer_matches_python(tmp_path):
     _assert_vcf_equivalent(pn, pp)
 
 
+def test_partial_native_write_falls_back_clean(tmp_path):
+    """If the native writer flushes some rows and then fails (returns
+    False), the Python fallback must produce a clean file — no duplicated
+    or truncated records left from the partial native body (round-2
+    ADVICE: silently corrupt VCF)."""
+    from rag_snvbert_tpu.io import _native
+    from rag_snvbert_tpu.io.vcf import read_vcf, write_imputed_vcf
+
+    n_v, n_s = 50, 3
+    rng = np.random.default_rng(5)
+    h1 = rng.random((n_v, n_s)).astype(np.float32)
+    h2 = rng.random((n_v, n_s)).astype(np.float32)
+    meta = dict(chrom=np.asarray(["21"] * n_v, object),
+                pos=np.arange(1, n_v + 1),
+                ref=np.asarray(["A"] * n_v, object),
+                alt=np.asarray(["G"] * n_v, object))
+    samples = [f"S{i}" for i in range(n_s)]
+
+    def partial_fail(path, prefixes, prefix_off, p1, p2):
+        with open(path, "ab") as f:   # flush a few mangled rows, then fail
+            f.write(b"21\t1\t.\tA\tG\t.\tPASS\t.\tGT\t0|0\nGARBAGE-PART")
+        return False
+
+    orig = _native.native_write_vcf_body
+    _native.native_write_vcf_body = partial_fail
+    try:
+        p = str(tmp_path / "fallback.vcf")
+        write_imputed_vcf(p, meta["chrom"], meta["pos"], meta["ref"],
+                          meta["alt"], samples, h1, h2)
+    finally:
+        _native.native_write_vcf_body = orig
+    body = [l for l in open(p).read().splitlines() if not l.startswith("#")]
+    assert len(body) == n_v                      # no duplicated records
+    assert not any("GARBAGE" in l for l in body)
+    v = read_vcf(p, use_native=False)
+    assert v.n_variants == n_v and v.n_samples == n_s
+
+
 def test_native_vcf_writer_gzip_roundtrip(tmp_path):
     """.gz path: header member + appended body member parse as one valid
     gzip VCF equal to the Python-path file."""
