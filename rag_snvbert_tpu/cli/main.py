@@ -101,6 +101,14 @@ def cmd_build_index(args):
 
     os.makedirs(args.out, exist_ok=True)
     data = load_vcf_or_hdf5(args.vcf)
+    pop_labels = None
+    if getattr(args, "panel", None):
+        from ..io.panel import PanelData
+
+        panel = PanelData.from_file(args.panel)
+        assert panel.n_samples == data.n_samples, (
+            f"panel has {panel.n_samples} samples, VCF {data.n_samples}")
+        pop_labels = np.asarray(panel.pop_list, object)
     win = (Window.from_file(args.windows) if args.windows
            else Window.fixed_stride(data.n_variants, args.window_len))
     _pin_small_workloads_to_cpu(
@@ -112,6 +120,11 @@ def cmd_build_index(args):
         flat = block.transpose(1, 0, 2).reshape(data.n_samples, -1)
         np.save(os.path.join(args.out, f"window_{w}.npy"), flat)
         np.save(os.path.join(args.out, f"window_{w}_pos.npy"), data.pos[s:e])
+        if pop_labels is not None:
+            # per-index-row population labels for query --verbose (the
+            # reference's window_*_pop.npy, test_faiss.py:126-131)
+            np.save(os.path.join(args.out, f"window_{w}_pop.npy"),
+                    pop_labels)
         if args.mode == "flat":
             import jax.numpy as jnp
 
@@ -197,10 +210,26 @@ def cmd_query(args):
         totals["search_t"] += search_t
         totals["n_queries"] += q.shape[0]
         if args.verbose:
+            # Human correctness spot-check (reference test_faiss.py:
+            # 146-164): best hit's id/dist, its population label when the
+            # index was built with --panel, and target-vs-neighbor allele
+            # snippets that should visibly agree for a sane index.
             v0 = np.asarray(vals)[0]
-            i0 = np.asarray(ids)[0]
-            print(f"window {w}: build {build_t:.3f}s search {search_t:.3f}s "
-                  f"best id {i0[0]} dist {v0[0]:.1f}")
+            best = int(np.asarray(ids)[0][0])
+            line = (f"window {w}: build {build_t:.3f}s search "
+                    f"{search_t:.3f}s best id {best} dist {v0[0]:.1f}")
+            pop_path = os.path.join(args.db, f"window_{w}_pop.npy")
+            if os.path.exists(pop_path):
+                pops = np.load(pop_path, allow_pickle=True)
+                if best < len(pops):
+                    line += f" pop {pops[best]}"
+            print(line)
+            ref_rows = ref_sub if args.mode == "intersect" else ref_flat
+            show = min(args.show_snp_len * 2, q.shape[1])
+            tgt = q[0, :show].astype(np.int8).tolist()
+            nb = ref_rows[best, :show].astype(np.int8).tolist()
+            print(f"  target snippet => {tgt}")
+            print(f"  neighb snippet => {nb}")
     totals["qps"] = round(totals["n_queries"] / max(totals["search_t"], 1e-9), 1)
     print(json.dumps(totals))
 
@@ -514,6 +543,9 @@ def build_parser() -> argparse.ArgumentParser:
                     default="f32",
                     help="index storage dtype; int8 is exact for binary "
                          "genotypes and runs the MXU's double-rate path")
+    pb.add_argument("--panel", default=None,
+                    help="panel file: stores per-row population labels "
+                         "(window_*_pop.npy) for query --verbose")
     pb.set_defaults(fn=cmd_build_index)
 
     pq = sub.add_parser("query")
@@ -523,7 +555,12 @@ def build_parser() -> argparse.ArgumentParser:
     pq.add_argument("--mode", choices=["flat", "intersect", "partial"],
                     default="flat")
     pq.add_argument("--hamming", action="store_true")
-    pq.add_argument("--verbose", action="store_true")
+    pq.add_argument("--verbose", action="store_true",
+                    help="per-window best-hit line with neighbor "
+                         "population + allele snippets (the reference's "
+                         "human correctness spot-check, test_faiss.py)")
+    pq.add_argument("--show-snp-len", type=int, default=10,
+                    help="alleles per snippet in --verbose output")
     pq.set_defaults(fn=cmd_query)
 
     pt = sub.add_parser("train")

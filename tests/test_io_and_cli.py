@@ -95,14 +95,21 @@ def test_cli_prepare_build_query(tmp_path, bundle, capsys):
 
     db = str(tmp_path / "db")
     main(["build-index", "--vcf", ref_vcf, "--out", db,
-          "--window-len", "40"])
+          "--window-len", "40", "--panel", panel_p])
     assert os.path.exists(os.path.join(db, "window_0.idx.npz"))
+    assert os.path.exists(os.path.join(db, "window_0_pop.npy"))
     capsys.readouterr()
 
-    main(["query", "--vcf", tgt_vcf, "--db", db, "--k", "3"])
-    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    main(["query", "--vcf", tgt_vcf, "--db", db, "--k", "3", "--verbose"])
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    stats = json.loads(out_lines[-1])
     assert stats["n_queries"] == bundle.train.n_samples * 2  # 2 windows
     assert stats["qps"] > 0
+    # verbose spot-check: best-hit line carries the neighbor's population
+    # label and both allele snippets (reference test_faiss.py:146-164)
+    assert any("pop POP" in l for l in out_lines)
+    assert any(l.startswith("  target snippet =>") for l in out_lines)
+    assert any(l.startswith("  neighb snippet =>") for l in out_lines)
 
     for mode, extra in [("partial", []), ("intersect", []),
                         ("intersect", ["--hamming"])]:
