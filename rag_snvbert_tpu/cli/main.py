@@ -290,9 +290,9 @@ def cmd_train(args):
 
     train_vcf = load_vcf_or_hdf5(args.train_dataset)
     panel = PanelData.from_file(args.train_panel)
-    freq = FreqTable.load(args.freq_path)
     win = Window.from_file(args.window_path)
     ref_vcf = load_vcf_or_hdf5(args.refpanel_path)
+    freq = _load_freq(args.freq_path, ref_vcf)
     vocab = Vocab.from_panel_pops(panel.pop_list)
 
     train_ds = WindowDataset(train_vcf, panel, freq, win.window_info, vocab,
@@ -417,6 +417,19 @@ def _infer_mesh(args):
     return make_mesh(n_data=args.data_parallel, n_index=1)
 
 
+def _load_freq(path: str, ref_vcf):
+    """Load a frequency table: our prepare-data ``freq.npz`` artifact, or
+    a reference-format ``Freq.npy`` (``freq[4, P+1, V]`` whose columns
+    follow the reference panel's site order — the pos_to_idx pickle of
+    prepare_data_v4_0411.py:170-235, reconstructed here from the panel
+    VCF's positions)."""
+    from ..io.freq import FreqTable
+
+    if str(path).endswith(".npy"):
+        return FreqTable.load_reference_npy(path, ref_vcf.pos)
+    return FreqTable.load(path)
+
+
 def cmd_infer(args):
     from ..infer.imputer import Imputer
     from ..io.freq import FreqTable
@@ -424,7 +437,7 @@ def cmd_infer(args):
 
     ref_vcf = load_vcf_or_hdf5(args.refpanel_path)
     target = load_vcf_or_hdf5(args.target)
-    freq = FreqTable.load(args.freq_path)
+    freq = _load_freq(args.freq_path, ref_vcf)
     model, embed_fn, params, rag_mode = _load_infer_model(args)
 
     imp = Imputer(model, embed_fn, params, ref_vcf, freq,
@@ -461,7 +474,7 @@ def cmd_serve(args):
     from ..io.vcf import load_vcf_or_hdf5
 
     ref_vcf = load_vcf_or_hdf5(args.refpanel_path)
-    freq = FreqTable.load(args.freq_path)
+    freq = _load_freq(args.freq_path, ref_vcf)
     model, embed_fn, params, rag_mode = _load_infer_model(args)
     svc = ImputationService.create(
         model, embed_fn, params, ref_vcf, freq,

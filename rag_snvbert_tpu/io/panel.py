@@ -29,7 +29,7 @@ class PanelData:
         with open(path, "r", encoding="utf-8") as f:
             header = f.readline()  # skip header row
             for line in f:
-                parts = line.rstrip("\n").split("\t")
+                parts = line.rstrip("\r\n").split("\t")
                 if len(parts) < 2 or not parts[0]:
                     continue
                 samples.append(parts[0])

@@ -92,9 +92,9 @@ def read_vcf(path: str, use_native: bool = True) -> VCFData:
             if line.startswith("##"):
                 continue
             if line.startswith("#CHROM"):
-                samples = line.rstrip("\n").split("\t")[9:]
+                samples = line.rstrip("\r\n").split("\t")[9:]
                 continue
-            fields = line.rstrip("\n").split("\t")
+            fields = line.rstrip("\r\n").split("\t")
             if len(fields) < 10:
                 continue
             chroms.append(fields[0])
@@ -133,7 +133,7 @@ def _read_vcf_metadata(path: str) -> dict:
             if line.startswith("##"):
                 continue
             if line.startswith("#CHROM"):
-                samples = line.rstrip("\n").split("\t")[9:]
+                samples = line.rstrip("\r\n").split("\t")[9:]
                 continue
             fields = line.split("\t", 5)
             if len(fields) < 5:

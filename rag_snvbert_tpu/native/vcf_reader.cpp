@@ -127,17 +127,25 @@ int64_t vcf_parse_gt(const char* path, int8_t* gt, int64_t* pos,
 
     int8_t* row = gt + v * n_samples * 2;
     int64_t s = 0;
+    // An allele token runs to the next separator; it binarizes to 0 iff
+    // it is exactly "0", "." or empty (multi-digit ALT indices like "12"
+    // are 1 — matching the Python parser's `parts[i] in (".", "0", "")`).
+    auto allele = [](const char*& p) -> int8_t {
+      const char* start = p;
+      while (*p && *p != '|' && *p != '/' && *p != ':' && *p != '\t' &&
+             *p != '\r')
+        ++p;
+      size_t len = (size_t)(p - start);
+      return (len == 0 || (len == 1 && (*start == '0' || *start == '.')))
+                 ? 0
+                 : 1;
+    };
     while (*p && s < n_samples) {
-      // first allele char
-      char a0 = *p;
-      int8_t h0 = (a0 == '0' || a0 == '.') ? 0 : 1;
-      ++p;
+      int8_t h0 = allele(p);
       int8_t h1 = h0;  // haploid: duplicate
       if (*p == '|' || *p == '/') {
         ++p;
-        char a1 = *p;
-        h1 = (a1 == '0' || a1 == '.') ? 0 : 1;
-        if (*p) ++p;
+        h1 = allele(p);
       }
       row[s * 2] = h0;
       row[s * 2 + 1] = h1;
