@@ -469,14 +469,18 @@ def cmd_serve(args):
     panel load once, then JSON-lines requests on stdin ->
     responses on stdout.  Request: {"target": path, "output_vcf": path,
     "npy_prefix"?: path, "progressive_rounds"?: int}."""
-    from ..infer.serve import ImputationService
+    from ..infer.serve import BatchingImputationService, ImputationService
     from ..io.freq import FreqTable
     from ..io.vcf import load_vcf_or_hdf5
 
     ref_vcf = load_vcf_or_hdf5(args.refpanel_path)
     freq = _load_freq(args.freq_path, ref_vcf)
     model, embed_fn, params, rag_mode = _load_infer_model(args)
-    svc = ImputationService.create(
+    # HTTP front-end: concurrent clients -> cross-request batched
+    # scheduling; the stdin JSON-lines loop is single-flight by nature.
+    svc_cls = (BatchingImputationService if args.http is not None
+               else ImputationService)
+    svc = svc_cls.create(
         model, embed_fn, params, ref_vcf, freq,
         window_len=args.infer_window_len, seq_len=args.seq_len,
         rag_k=args.rag_k if args.rag_k is not None else 1,

@@ -11,11 +11,13 @@ Endpoints:
   POST /impute   -> body is exactly one ``ImputationService.handle``
                     request dict; response is its response dict.
 
-Requests are serialized through a single service instance: the device is
-one pipeline anyway, and the imputer's per-window jit cache is not
-thread-safe.  ``ThreadingHTTPServer`` still accepts sockets concurrently,
-so health checks do not starve behind a long imputation; the per-request
-lock only covers ``/impute``.
+Concurrency: with a ``BatchingImputationService`` (``concurrent=True``,
+the ``serve --http`` default) requests run concurrently — VCF parse and
+result emission on the handler threads, device work through the service's
+scheduler, which merges same-site-pattern requests into shared device
+batches.  A plain ``ImputationService`` falls back to a global request
+lock.  ``ThreadingHTTPServer`` accepts sockets concurrently either way,
+so health checks never starve behind a long imputation.
 """
 
 from __future__ import annotations
@@ -65,12 +67,24 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(400, {"ok": False,
                               "error": f"bad request: {type(e).__name__}: {e}"})
             return
-        with self.lock:
+        if getattr(self.service, "concurrent", False):
+            # BatchingImputationService: requests run concurrently — host
+            # work on this thread, device work via its scheduler (which
+            # merges same-pattern requests into one device stream).
             try:
                 resp = self.service.handle(req)
-            except Exception as e:  # keep serving; error goes in-band
+            except Exception as e:
                 resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-            self.counter[0] += 1
+            with self.lock:
+                self.counter[0] += 1
+        else:
+            with self.lock:
+                try:
+                    resp = self.service.handle(req)
+                except Exception as e:  # keep serving; error goes in-band
+                    resp = {"ok": False,
+                            "error": f"{type(e).__name__}: {e}"}
+                self.counter[0] += 1
         self._reply(200 if resp.get("ok") else 422, resp)
 
 

@@ -276,6 +276,88 @@ def test_http_front_end(setup, tmp_path):
         server.server_close()
 
 
+def test_batching_service_merges_and_is_exact(setup, tmp_path):
+    """Cross-request batched scheduling (round-3 serving item): concurrent
+    same-site-pattern requests merge along the sample axis into shared
+    device batches — results identical to solo imputation — while a
+    different-pattern request interleaves correctly."""
+    import threading
+
+    from rag_snvbert_tpu.infer.serve import BatchingImputationService
+
+    b, model, embed_fn, params, seq_len = setup
+    rng = np.random.default_rng(21)
+    keep_a = rng.random(b.train.n_variants) > 0.4
+    keep_b = rng.random(b.train.n_variants) > 0.6
+    # three same-pattern targets with disjoint sample subsets + one other
+    base = drop_sites(b.train, keep_a)
+    parts = [dataclasses.replace(base, gt=base.gt[:, s], samples=list(
+        np.asarray(base.samples)[s])) for s in (slice(0, 3), slice(3, 6),
+                                                slice(6, 8))]
+    other = drop_sites(b.train, keep_b)
+
+    svc = BatchingImputationService.create(
+        model, embed_fn, params, b.ref, b.freq,
+        window_len=seq_len - 10, seq_len=seq_len, ref_pad_haps=64,
+        batch_size=8, use_pallas=False)
+    svc.max_wait_ms = 2000.0   # deterministic merge in the test
+
+    results = {}
+    errs = []
+
+    def run(name, tgt):
+        try:
+            results[name] = svc.handle_target(tgt)
+        except Exception as e:   # pragma: no cover - surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(f"p{i}", t))
+               for i, t in enumerate(parts)]
+    threads.append(threading.Thread(target=run, args=("other", other)))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs, errs
+    assert len(results) == 4
+
+    # exactness vs solo imputation
+    solo = svc.imputer.impute(parts[0])
+    np.testing.assert_array_equal(results["p0"].hap1_prob, solo.hap1_prob)
+    np.testing.assert_array_equal(results["p0"].gt_prob, solo.gt_prob)
+    solo_other = svc.imputer.impute(other)
+    np.testing.assert_array_equal(results["other"].hap1_prob,
+                                  solo_other.hap1_prob)
+    # per-request shapes and flags
+    for i, part in enumerate(parts):
+        r = results[f"p{i}"]
+        assert r.hap1_prob.shape == (b.ref.n_variants, part.n_samples)
+        assert (r.imputed_flag == ~keep_a).all()
+    # the three same-pattern requests actually shared impute calls
+    assert svc.stats["merged_requests"] >= 2
+    assert svc.stats["impute_calls"] < 4
+
+
+def test_batching_service_progressive_and_errors(setup, tmp_path):
+    """Progressive requests queue unmerged; errors reach their caller."""
+    from rag_snvbert_tpu.infer.serve import BatchingImputationService
+
+    b, model, embed_fn, params, seq_len = setup
+    rng = np.random.default_rng(23)
+    keep = rng.random(b.train.n_variants) > 0.5
+    target = drop_sites(b.train, keep)
+    svc = BatchingImputationService.create(
+        model, embed_fn, params, b.ref, b.freq,
+        window_len=seq_len - 10, seq_len=seq_len, ref_pad_haps=64,
+        batch_size=8, use_pallas=False)
+    res = svc.handle_target(target, rounds=2)
+    assert (res.imputed_flag == ~keep).all()
+    solo = svc.imputer.impute_progressive(target, rounds=2)
+    np.testing.assert_array_equal(res.hap1_prob, solo.hap1_prob)
+    with pytest.raises(Exception):
+        svc.handle({"target": "/nonexistent.vcf"})
+
+
 def test_mesh_data_parallel_imputation_matches(setup):
     """Data-parallel serving: the same imputation sharded over a 4-device
     data axis must reproduce single-device results exactly (params and
