@@ -35,6 +35,7 @@ class ModelConfig:
     scan_layers: bool = False     # lax.scan over encoder layers (fast compile)
     flash_attention: bool | str = False  # True|"flash"|"splash[:block]"
     score_bf16: bool = False      # bf16 attention scores (XLA path)
+    int8_matmuls: bool = False    # int8 fwd+bwd encoder matmuls (MXU 2x path)
     compat_double_softmax: bool = False
 
 
@@ -72,7 +73,8 @@ class RunConfig:
                    flash_attention=m.flash_attention,
                    score_dtype=jnp.bfloat16 if m.score_bf16 else jnp.float32,
                    dropout_broadcast=m.dropout_broadcast,
-                   fused_qkv=m.fused_qkv)
+                   fused_qkv=m.fused_qkv,
+                   int8_matmuls=m.int8_matmuls)
         return BERTFoundationModel(bert=bert,
                                    compat_double_softmax=m.compat_double_softmax)
 

@@ -38,6 +38,7 @@ class BERT(nn.Module):
     score_dtype: jnp.dtype = jnp.float32
     dropout_broadcast: bool = False  # sequence-shared residual-dropout masks
     fused_qkv: bool = False          # one [D,3D] QKV projection
+    int8_matmuls: bool = False       # int8 fwd+bwd encoder matmuls (ops/quant)
 
     def setup(self):
         self.embedding = BERTEmbedding(self.vocab_size, self.dims,
@@ -51,7 +52,8 @@ class BERT(nn.Module):
                                score_dtype=self.score_dtype,
                                scan=self.scan_layers,
                                dropout_broadcast=self.dropout_broadcast,
-                               fused_qkv=self.fused_qkv)
+                               fused_qkv=self.fused_qkv,
+                               quant=self.int8_matmuls)
 
     def embed(self, tokens, af, deterministic=True):
         """Embedding-layer forward — the retrieval encoder. Exposed so the

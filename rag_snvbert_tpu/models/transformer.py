@@ -142,6 +142,8 @@ class MultiHeadAttention(nn.Module):
     fused_qkv: bool = False    # one [D, 3D] projection instead of three
     # [D, D] matmuls — fewer, fatter MXU dispatches (changes the param
     # tree: 'qkv' kernel instead of query/key/value).
+    quant: bool = False        # int8 forward+backward projection matmuls
+    # (ops/quant.Int8Dense — the MXU double-rate path; same param tree).
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None,
@@ -150,14 +152,16 @@ class MultiHeadAttention(nn.Module):
         assert d % self.heads == 0
         hd = d // self.heads
         attn_rate = self.dropout if self.attn_dropout is None else self.attn_dropout
+        from ..ops.quant import dense_cls
+        Dense = dense_cls(self.quant)
 
         if self.fused_qkv:
-            qkv = nn.Dense(3 * d, name="qkv", dtype=self.dtype)(x)
+            qkv = Dense(3 * d, name="qkv", dtype=self.dtype)(x)
             qkv = qkv.reshape(b, l, 3, self.heads, hd)
             q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         else:
             def proj(name):
-                return nn.Dense(d, name=name, dtype=self.dtype)(x).reshape(
+                return Dense(d, name=name, dtype=self.dtype)(x).reshape(
                     b, l, self.heads, hd)
 
             q = proj("query").transpose(0, 2, 1, 3)  # [B, H, L, hd]
@@ -196,7 +200,7 @@ class MultiHeadAttention(nn.Module):
             probs = nn.Dropout(attn_rate)(probs, deterministic=deterministic)
             out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
-        return nn.Dense(d, name="output", dtype=self.dtype)(out)
+        return Dense(d, name="output", dtype=self.dtype)(out)
 
 
 class FeedForward(nn.Module):
@@ -206,18 +210,21 @@ class FeedForward(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     dropout_broadcast: bool = False
+    quant: bool = False        # int8 matmuls (see MultiHeadAttention.quant)
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        h = nn.leaky_relu(nn.Dense(self.hidden_dims, name="w_1",
-                                   dtype=self.dtype)(x), negative_slope=0.1)
+        from ..ops.quant import dense_cls
+        Dense = dense_cls(self.quant)
+        h = nn.leaky_relu(Dense(self.hidden_dims, name="w_1",
+                                dtype=self.dtype)(x), negative_slope=0.1)
         # Named for selective remat policies: saving this tensor skips
         # recomputing the block's largest matmul in the backward pass at
         # ~150 MB/layer (bf16, flagship shapes).
         h = checkpoint_name(h, "ffn_hidden")
         h = nn.LayerNorm(dtype=self.dtype)(h)
-        h = nn.leaky_relu(nn.Dense(self.dims, name="w_2",
-                                   dtype=self.dtype)(h), negative_slope=0.1)
+        h = nn.leaky_relu(Dense(self.dims, name="w_2",
+                                dtype=self.dtype)(h), negative_slope=0.1)
         bdims = (1,) if self.dropout_broadcast else ()
         return nn.Dropout(self.dropout, broadcast_dims=bdims)(
             h, deterministic=deterministic)
@@ -247,6 +254,7 @@ class TransformerBlock(nn.Module):
     # bits per mask at L~1030 — an opt-in perf knob with a (mild) semantic
     # change from the reference's per-position masks.
     fused_qkv: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None,
@@ -260,10 +268,12 @@ class TransformerBlock(nn.Module):
                         flash=self.flash,
                         score_dtype=self.score_dtype,
                         fused_qkv=self.fused_qkv,
+                        quant=self.quant,
                         name="attention")
         ffn = FeedForward(self.dims, self.feed_forward_hidden, self.dropout,
                           dtype=self.dtype,
                           dropout_broadcast=self.dropout_broadcast,
+                          quant=self.quant,
                           name="feed_forward")
         bdims = (1,) if self.dropout_broadcast else ()
         drop = lambda y: nn.Dropout(self.dropout, broadcast_dims=bdims)(
@@ -327,6 +337,7 @@ class Encoder(nn.Module):
     # Parameters gain a leading [n_layers] axis under this layout.
     dropout_broadcast: bool = False  # see TransformerBlock.dropout_broadcast
     fused_qkv: bool = False          # see MultiHeadAttention.fused_qkv
+    quant: bool = False              # int8 encoder matmuls (ops/quant)
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None,
@@ -365,7 +376,7 @@ class Encoder(nn.Module):
                             self.dropout, self.pre_ln, self.dtype,
                             self.attn_dropout, self.flash, self.score_dtype,
                             attn_remat, self.dropout_broadcast,
-                            self.fused_qkv,
+                            self.fused_qkv, self.quant,
                             name="blocks")(x, mask, deterministic)
             return x
         for i in range(self.n_layers):
@@ -373,6 +384,6 @@ class Encoder(nn.Module):
                           self.dropout, self.pre_ln, self.dtype,
                           self.attn_dropout, self.flash, self.score_dtype,
                           attn_remat, self.dropout_broadcast,
-                          self.fused_qkv,
+                          self.fused_qkv, self.quant,
                           name=f"block_{i}")(x, mask, deterministic)
         return x

@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--windows", type=int, default=3)
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--missing", type=float, default=0.5)
+    ap.add_argument("--concurrent", type=int, default=0,
+                    help="N>1: also bench N concurrent clients (same "
+                         "site pattern, disjoint samples) through "
+                         "BatchingImputationService vs serialized solo "
+                         "requests — the cross-request batching win")
     args = ap.parse_args()
 
     import jax
@@ -90,6 +95,50 @@ def main():
            "imputed_genotypes_per_s": round(genotypes / dt, 1),
            "site_sample_forward_per_s": round(
                b.ref.n_variants * args.samples / dt, 1)}
+
+    if args.concurrent > 1:
+        import threading
+
+        from rag_snvbert_tpu.infer.serve import BatchingImputationService
+
+        n_c = args.concurrent
+        per = args.samples // n_c
+        clients = [dataclasses.replace(
+            target, gt=target.gt[:, i * per:(i + 1) * per],
+            samples=target.samples[i * per:(i + 1) * per])
+            for i in range(n_c)]
+
+        # serialized baseline: one client after another (per-request
+        # batches are PARTIAL — this is exactly the padding waste +
+        # host/device serialization the scheduler removes)
+        for c in clients:
+            imp.impute(c)      # warm the per-size jit shapes
+        t0 = time.time()
+        for c in clients:
+            imp.impute(c)
+        serial_s = time.time() - t0
+
+        svc = BatchingImputationService(imputer=imp, ref_vcf=b.ref)
+        svc.max_wait_ms = 200.0
+
+        def run_all():
+            threads = [threading.Thread(target=svc.handle_target, args=(c,))
+                       for c in clients]
+            t0 = time.time()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            return time.time() - t0
+
+        run_all()               # warm the merged shape
+        conc_s = run_all()
+        out.update({
+            "concurrent_clients": n_c,
+            "serialized_s": round(serial_s, 2),
+            "concurrent_s": round(conc_s, 2),
+            "concurrency_speedup": round(serial_s / conc_s, 2),
+            "sched": svc.stats})
     print(json.dumps(out))
 
 
