@@ -35,7 +35,8 @@ class ModelConfig:
     scan_layers: bool = False     # lax.scan over encoder layers (fast compile)
     flash_attention: bool | str = False  # True|"flash"|"splash[:block]"
     score_bf16: bool = False      # bf16 attention scores (XLA path)
-    int8_matmuls: bool = False    # int8 fwd+bwd encoder matmuls (MXU 2x path)
+    int8_matmuls: bool | str = False  # int8 encoder matmuls (MXU 2x path):
+    # True/"fwd_bwd" = fwd+bwd, "fwd" = int8 forward with bf16 gradients
     compat_double_softmax: bool = False
 
 

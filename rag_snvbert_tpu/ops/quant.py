@@ -8,17 +8,23 @@ no analogue, this is a TPU-native extension).
 
 Scheme (symmetric, dynamic, no calibration state):
   y = (q(x) @ q(w)) * sx * sw,  q(t) = round(clip(t/s, +-127)), s = amax/127
-  - x: per-row scales over the contraction axis (one scale per token)
-  - w: per-column scales (one per output feature)
-Backward quantizes the SAME way for both grad matmuls (dx = g @ w.T with
-per-row g scales / per-column w.T scales; dw = x.T @ g likewise), i.e.
-full int8 forward + backward; the quantization itself is treated as
-straight-through (gradients flow as if the matmul were exact — standard
-AQT practice).
+with scale granularity always per-index of a NON-contracted axis (constant
+along the contraction axis, so it factors out of the dot exactly).
+Quantization is straight-through (gradients flow as if the matmul were
+exact — standard AQT practice).
 
-Everything here is plain jnp: XLA fuses the amax/scale/round chains into
-the int8 matmul's prologue/epilogue, and the int8 dot hits the MXU's
-double-rate path natively — no Pallas needed for this one.
+Layout discipline: scales are reduced along whichever axis the dot
+contracts IN PLACE — never via `.T` on the int8 tensors.  An explicit
+transpose of an int8 array is a real relayout copy on TPU (int8 tiles are
+(32,128)); the first version of this file transposed weights twice per
+matmul and measured 177 ms/step vs the 130 ms bf16 baseline.  All
+transposition here is expressed through dot_general dimension numbers,
+which fold into the MXU op.
+
+Two modes:
+  - "fwd": int8 forward matmul, bf16 backward (custom_vjp over the
+    quantized forward with exact-matmul gradients).
+  - "fwd_bwd" (`int8_matmuls=True`): both grad matmuls quantized too.
 """
 
 from __future__ import annotations
@@ -28,23 +34,43 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _quantize_rows(t: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Symmetric int8 over the LAST axis: returns (q [.., K] int8,
-    scale [.., 1] f32)."""
-    amax = jnp.max(jnp.abs(t), axis=-1, keepdims=True)
+def _quant(t: jax.Array, axis: int) -> tuple[jax.Array, jax.Array]:
+    """Symmetric int8 along `axis` (the contraction axis of the coming
+    dot): returns (q int8, scale f32 with keepdims)."""
+    amax = jnp.max(jnp.abs(t), axis=axis, keepdims=True)
     scale = jnp.maximum(amax.astype(jnp.float32), 1e-8) / 127.0
     q = jnp.clip(jnp.round(t / scale.astype(t.dtype)), -127, 127)
     return q.astype(jnp.int8), scale
 
 
 def _int8_matmul(x: jax.Array, w: jax.Array) -> jax.Array:
-    """[.., K] @ [K, N] via the int8 MXU path, rescaled to x.dtype."""
-    xq, sx = _quantize_rows(x)                      # [.., K], [.., 1]
-    wq, sw = _quantize_rows(w.T)                    # [N, K], [N, 1]
-    y = jax.lax.dot_general(xq, wq.T,
+    """[.., K] @ [K, N] on the int8 MXU path, rescaled to x.dtype."""
+    xq, sx = _quant(x, -1)                     # [.., K], [.., 1]
+    wq, sw = _quant(w, 0)                      # [K, N],  [1, N]
+    y = jax.lax.dot_general(xq, wq,
                             (((x.ndim - 1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
-    return (y.astype(jnp.float32) * (sx * sw.T)).astype(x.dtype)
+    return (y.astype(jnp.float32) * (sx * sw)).astype(x.dtype)
+
+
+def _int8_dx(g: jax.Array, w: jax.Array) -> jax.Array:
+    """dx = g @ w.T quantized: [.., N] x [K, N] -> [.., K] (contract N)."""
+    gq, sg = _quant(g, -1)                     # [.., N], [.., 1]
+    wq, sw = _quant(w, 1)                      # [K, N],  [K, 1]
+    dx = jax.lax.dot_general(gq, wq,
+                             (((g.ndim - 1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    return (dx.astype(jnp.float32) * (sg * sw[:, 0][None, :])).astype(g.dtype)
+
+
+def _int8_dw(x2: jax.Array, g2: jax.Array) -> jax.Array:
+    """dw = x.T @ g quantized: [M, K] x [M, N] -> [K, N] (contract M)."""
+    xq, sx = _quant(x2, 0)                     # [M, K], [1, K]
+    gq, sg = _quant(g2, 0)                     # [M, N], [1, N]
+    dw = jax.lax.dot_general(xq, gq,
+                             (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    return dw.astype(jnp.float32) * (sx[0][:, None] * sg)
 
 
 @jax.custom_vjp
@@ -59,19 +85,39 @@ def _int8_dot_fwd(x, w):
 
 def _int8_dot_bwd(res, g):
     x, w = res
-    # dx = g @ w.T ; dw = x.T @ g — both on the int8 MXU path.
-    dx = _int8_matmul(g, w.T)
+    dx = _int8_dx(g, w)
     xf = x.reshape(-1, x.shape[-1])
     gf = g.reshape(-1, g.shape[-1])
-    dw = _int8_matmul(xf.T, gf).astype(w.dtype)
-    return dx, dw
+    return dx, _int8_dw(xf, gf).astype(w.dtype)
 
 
 int8_dot.defvjp(_int8_dot_fwd, _int8_dot_bwd)
 
 
+@jax.custom_vjp
+def int8_dot_fwdonly(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Quantized forward, EXACT bf16 backward (isolates fwd quantization)."""
+    return _int8_matmul(x, w)
+
+
+def _int8_fo_fwd(x, w):
+    return _int8_matmul(x, w), (x, w)
+
+
+def _int8_fo_bwd(res, g):
+    x, w = res
+    dx = jax.lax.dot_general(g, w, (((g.ndim - 1,), (1,)), ((), ())))
+    xf = x.reshape(-1, x.shape[-1])
+    gf = g.reshape(-1, g.shape[-1])
+    dw = jax.lax.dot_general(xf, gf, (((0,), (0,)), ((), ())))
+    return dx.astype(g.dtype), dw.astype(w.dtype)
+
+
+int8_dot_fwdonly.defvjp(_int8_fo_fwd, _int8_fo_bwd)
+
+
 class Int8Dense(nn.Module):
-    """Drop-in nn.Dense with int8 forward/backward matmuls.
+    """Drop-in nn.Dense with int8 matmuls.
 
     Same param names/shapes ("kernel", "bias") as nn.Dense, so presets
     can flip quantization on/off against one checkpoint.
@@ -80,13 +126,15 @@ class Int8Dense(nn.Module):
     features: int
     use_bias: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    mode: str = "fwd_bwd"      # "fwd_bwd" | "fwd"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         k = self.param("kernel", nn.initializers.lecun_normal(),
                        (x.shape[-1], self.features), jnp.float32)
         x = x.astype(self.dtype)
-        y = int8_dot(x, k.astype(self.dtype))
+        dot = int8_dot if self.mode == "fwd_bwd" else int8_dot_fwdonly
+        y = dot(x, k.astype(self.dtype))
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros,
                            (self.features,), jnp.float32)
@@ -94,6 +142,13 @@ class Int8Dense(nn.Module):
         return y
 
 
-def dense_cls(quant: bool):
-    """nn.Dense or Int8Dense — the encoder picks per the model config."""
-    return Int8Dense if quant else nn.Dense
+def dense_cls(quant):
+    """nn.Dense or Int8Dense — the encoder picks per the model config.
+
+    `quant`: False -> nn.Dense; True/"fwd_bwd" -> full int8; "fwd" ->
+    int8 forward only (bf16 gradients).
+    """
+    if not quant:
+        return nn.Dense
+    mode = "fwd" if quant == "fwd" else "fwd_bwd"
+    return lambda features, **kw: Int8Dense(features, mode=mode, **kw)
