@@ -130,7 +130,8 @@ def cmd_build_index(args):
 
             dt = {"f32": jnp.float32, "bf16": jnp.bfloat16,
                   "int8": jnp.int8}[args.dtype]
-            idx = FlatL2Index.build(flat.astype(np.float32), dtype=dt)
+            idx = FlatL2Index.build(flat.astype(np.float32), dtype=dt,
+                                    align=True)
             idx.save(os.path.join(args.out, f"window_{w}.idx"))
     meta = {"windows": win.count, "n_samples": data.n_samples,
             "mode": args.mode, "build_seconds": round(time.time() - t0, 3)}

@@ -78,23 +78,61 @@ def _round_up(x: int, m: int) -> int:
     return _cdiv(x, m) * m
 
 
+def default_td(d: int, dtype) -> int:
+    """The d-tile the wrapper picks by default (see l2_topk_pallas)."""
+    td = 2048 if jnp.dtype(dtype).itemsize <= 2 else 1024
+    return min(td, _round_up(max(d, 128), 128))
+
+
+def ref_alignment(d: int, dtype, tn: int = 512) -> tuple[int, int]:
+    """(n_multiple, d_padded) that make the wrapper's ref pads no-ops.
+
+    Padding the [N, d] reference matrix *at build time* (rows with +inf
+    norms, zero feature columns) saves a full per-call HBM round trip:
+    the in-jit ``jnp.pad`` of a chromosome-scale int8 index (1.36 GB)
+    measured ~3 ms of the 24 ms batch on v5e (tools/sweep_topk --prepad:
+    42.7k -> 48.8k QPS)."""
+    return tn, _round_up(max(d, 128), default_td(d, dtype))
+
+
+def _when(cond):
+    """pl.when that accepts a Python bool: statically-true branches are
+    inlined (the 2D grid drops the kd axis, making its conditions static)."""
+    if isinstance(cond, bool):
+        return (lambda f: f() if cond else None)
+    return pl.when(cond)
+
+
 def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
                     acc, qn, top_keys, top_ids, *, k: int, tn: int,
-                    in_dtype):
+                    in_dtype, two_d: bool):
     j = pl.program_id(1)
-    kd = pl.program_id(2)
     nn = pl.num_programs(1)
-    nd = pl.num_programs(2)
+    if two_d:
+        # Single d tile: the kd grid axis is dropped entirely — a size-1
+        # trailing grid dim measurably slows Mosaic's pipeline (probe:
+        # 15.9 -> 10.3 ms on the bare matmul at N=664k, d=2048).
+        kd, nd = 0, 1
+    else:
+        kd = pl.program_id(2)
+        nd = pl.num_programs(2)
     integer = jnp.issubdtype(jnp.dtype(in_dtype), jnp.integer)
     acc_t = jnp.int32 if integer else jnp.float32
 
-    @pl.when(kd == 0)
+    # Norm-fused accumulation (round 3): the accumulator is seeded with
+    # -|r|^2 instead of zero (same-cost write), and the wrapper pre-doubles
+    # the queries, so after the d loop  acc = 2<q,r> - |r|^2  and the
+    # distance is simply |q|^2 - acc.  This removes the rn-broadcast add
+    # AND the 2x shift from the every-tile epilogue — the common path
+    # becomes ONE compare + one any-reduce per element (the VPU epilogue,
+    # not the MXU matmul, is what bounds this kernel at big d tiles).
+    @_when(True if two_d else kd == 0)
     def _():
-        acc[:] = jnp.zeros_like(acc)
+        acc[:] = jnp.zeros_like(acc) - rn_ref[:]
 
     inf_key = _INT_INF_KEY if integer else _INF_KEY
 
-    @pl.when(jnp.logical_and(j == 0, kd == 0))
+    @_when(j == 0 if two_d else jnp.logical_and(j == 0, kd == 0))
     def _():
         top_keys[:] = jnp.full_like(top_keys, inf_key)
         top_ids[:] = jnp.zeros_like(top_ids)
@@ -102,6 +140,9 @@ def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
 
     # Query norms accumulate over d-tiles during the first ref tile only;
     # the scratch is reused for every later ref tile of the same query tile.
+    # q_ref holds the PRE-DOUBLED queries, so this accumulates 4|q|^2; use
+    # sites rescale the [TQ, 1] column (exact: /4 of a sum of even squares
+    # for ints, an exponent bump for floats).
     @pl.when(j == 0)
     def _():
         qf = q_ref[:].astype(acc_t)
@@ -120,65 +161,87 @@ def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
         precision=precision,
     )
 
-    # After the last d tile: form this ref tile's distances and merge any
-    # new top-k candidates into the running buffer.
-    @pl.when(kd == nd - 1)
+    # After the last d tile: gate on "any candidate in this ref tile",
+    # and only then form keys and merge.  The gate is the common path —
+    # after the first few ref tiles almost every tile is a miss — and
+    # thanks to the norm-fused accumulator it is ONE compare against a
+    # per-row threshold plus one any-reduce:
+    #   dist < tau_dist  ⇔  qn - acc < tau_dist  ⇔  acc > qn - tau_dist
+    # with qn - tau_dist a [TQ, 1] column computed once per tile.  No
+    # distance materialization, no key packing, no min-extraction.
+    # (The round-2 epilogue formed packed keys + a min-reduce every
+    # tile: ~10 ops/element, which at d-tile≈2048 rivals the whole int8
+    # matmul's MXU time and capped the kernel at ~29% of int8 peak.)
+    @_when(True if two_d else kd == nd - 1)
     def _():
         tq = acc.shape[0]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (tq, tn), 1)
+        tau = top_keys[:, k - 1 : k]                      # [TQ, 1] key space
         if integer:
-            # Integer path: distances are exact int32; the key is simply
-            # dist << ID_BITS | lane (lossless below the cap; padded rows
-            # carry cap-valued norms, so their keys clamp to inf_key and
-            # are excluded by the strict-< gate like the f32 path's +inf).
-            dist = jnp.clip(qn[:] - 2 * acc[:] + rn_ref[:], 0,
-                            _INT_DIST_CAP)
-            keys = (dist << _ID_BITS) | lanes
+            # Exact: keys compare as dist<<B|lane < tau_d<<B ⇔ dist<tau_d.
+            tau_d = tau >> _ID_BITS
+            thr = (qn[:] >> 2) - tau_d                    # [TQ, 1]
+            gate = jnp.any(acc[:] > thr)
         else:
-            dist = jnp.maximum(qn[:] - 2.0 * acc[:] + rn_ref[:], 0.0)
-            # Packed sortable keys: non-negative f32 bits are monotonic
-            # under int32 comparison; the low 9 mantissa bits become the
-            # lane id so keys are unique per row and the min encodes
-            # (dist, id).
-            keys = (pltpu.bitcast(dist, jnp.int32) & _KEY_MASK) | lanes
+            # Conservative by one quantum: dist_bits&KEY_MASK < tau (int)
+            # ⇒ dist_bits < tau + 2^B ⇒ dist < f32(tau + 2^B).  Spurious
+            # fires (dist in [tau, tau+512ulp)) just run an empty merge.
+            # Dropping dist's max(…, 0) clamp only widens the gate.  The
+            # min against the +inf bits keeps the untouched-buffer case
+            # (tau = _INF_KEY) at exactly +inf instead of a NaN pattern.
+            tau_next = pltpu.bitcast(
+                jnp.minimum(tau + (1 << _ID_BITS), _INF_KEY), jnp.float32)
+            thr = 0.25 * qn[:] - tau_next                 # [TQ, 1]
+            gate = jnp.any(acc[:] > thr)
 
-        tau = top_keys[:, k - 1 : k]                      # [TQ, 1]
-        m0 = jnp.min(keys, axis=1, keepdims=True)         # [TQ, 1]
-
-        li = jax.lax.broadcasted_iota(jnp.int32, (tq, _K_LANES), 1)
-
-        def cond(carry):
-            _, m, tau_c = carry
-            # Strict <: buffer keys have zero id bits, so an equal
-            # quantized distance keeps the incumbent (earlier tile =
-            # smaller global id), preserving the ascending-id tie-break.
-            return jnp.any((m & _KEY_MASK) < tau_c)
-
-        def body(carry):
-            keys_c, m, _ = carry
-            qkey = m & _KEY_MASK                          # [TQ, 1]
-            gid = j * tn + (m & _ID_MASK)                 # [TQ, 1]
-            # Shift-insert into the sorted buffer.  Rows whose min is not
-            # a real candidate (qkey >= tau) land at pos >= k and only
-            # disturb the non-load-bearing tail lanes.
-            pos = jnp.sum((top_keys[:] <= qkey).astype(jnp.int32),
-                          axis=1, keepdims=True)          # [TQ, 1]
-            sk = pltpu.roll(top_keys[:], 1, axis=1)
-            si = pltpu.roll(top_ids[:], 1, axis=1)
-            top_keys[:] = jnp.where(
-                li < pos, top_keys[:], jnp.where(li == pos, qkey, sk))
-            top_ids[:] = jnp.where(
-                li < pos, top_ids[:], jnp.where(li == pos, gid, si))
-            # Knock the extracted element out (keys unique per row).
-            keys_n = jnp.where(keys_c == m, _MAX_KEY, keys_c)
-            m_n = jnp.min(keys_n, axis=1, keepdims=True)
-            return keys_n, m_n, top_keys[:, k - 1 : k]
-
-        # Cheap gate: skip the loop machinery entirely when no row in this
-        # tile improves on the current top-k (the common case after the
-        # first few tiles).
-        @pl.when(jnp.any((m0 & _KEY_MASK) < tau))
+        @pl.when(gate)
         def _():
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (tq, tn), 1)
+            if integer:
+                # Integer path: distances are exact int32; the key is
+                # dist << ID_BITS | lane (lossless below the cap; padded
+                # rows carry cap-valued norms, so their keys clamp to
+                # inf_key and are excluded by the strict-< merge).
+                dist = jnp.clip((qn[:] >> 2) - acc[:], 0, _INT_DIST_CAP)
+                keys = (dist << _ID_BITS) | lanes
+            else:
+                dist = jnp.maximum(0.25 * qn[:] - acc[:], 0.0)
+                # Packed sortable keys: non-negative f32 bits are
+                # monotonic under int32 comparison; the low 9 mantissa
+                # bits become the lane id so keys are unique per row and
+                # the min encodes (dist, id).
+                keys = (pltpu.bitcast(dist, jnp.int32) & _KEY_MASK) | lanes
+
+            m0 = jnp.min(keys, axis=1, keepdims=True)     # [TQ, 1]
+            li = jax.lax.broadcasted_iota(jnp.int32, (tq, _K_LANES), 1)
+
+            def cond(carry):
+                _, m, tau_c = carry
+                # Strict <: buffer keys have zero id bits, so an equal
+                # quantized distance keeps the incumbent (earlier tile =
+                # smaller global id), preserving the ascending-id
+                # tie-break.
+                return jnp.any((m & _KEY_MASK) < tau_c)
+
+            def body(carry):
+                keys_c, m, _ = carry
+                qkey = m & _KEY_MASK                      # [TQ, 1]
+                gid = j * tn + (m & _ID_MASK)             # [TQ, 1]
+                # Shift-insert into the sorted buffer.  Rows whose min is
+                # not a real candidate (qkey >= tau) land at pos >= k and
+                # only disturb the non-load-bearing tail lanes.
+                pos = jnp.sum((top_keys[:] <= qkey).astype(jnp.int32),
+                              axis=1, keepdims=True)      # [TQ, 1]
+                sk = pltpu.roll(top_keys[:], 1, axis=1)
+                si = pltpu.roll(top_ids[:], 1, axis=1)
+                top_keys[:] = jnp.where(
+                    li < pos, top_keys[:], jnp.where(li == pos, qkey, sk))
+                top_ids[:] = jnp.where(
+                    li < pos, top_ids[:], jnp.where(li == pos, gid, si))
+                # Knock the extracted element out (keys unique per row).
+                keys_n = jnp.where(keys_c == m, _MAX_KEY, keys_c)
+                m_n = jnp.min(keys_n, axis=1, keepdims=True)
+                return keys_n, m_n, top_keys[:, k - 1 : k]
+
             jax.lax.while_loop(cond, body, (keys, m0, tau))
 
         @pl.when(j == nn - 1)
@@ -221,9 +284,16 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
         # Integer path (genotype/token vectors): distances are exact int32
         # and the MXU runs int8 at double rate.  Key packing needs
         # dist < 2^22, i.e. small element values: |q_i - r_i| <= 22 at
-        # d = 8192 (binary and vocab-sized tokens are far inside).
+        # d = 8192 (binary and vocab-sized tokens are far inside).  The
+        # norm-fused accumulator additionally needs 2*q to fit the
+        # storage dtype, i.e. |q_i| <= 63 for int8 — far above any
+        # genotype/token value.
         assert d < (1 << 13), "int path supports d < 8192 (key overflow)"
-    queries = queries.astype(refs.dtype)
+    # Pre-double so the kernel's accumulator lands on 2<q,r> - |r|^2
+    # directly (see _l2_topk_kernel).  Cast first (preserving the
+    # storage-dtype rounding semantics), then double — exact for floats
+    # (exponent bump) and for |q_i| <= 63 ints.
+    queries = queries.astype(refs.dtype) * 2
     if td is None:
         # Wider d tiles amortize the per-tile merge check (measured on v5e
         # at N=664k, d=2040: td 512 -> 2048 is 23.9k -> 28.4k QPS); f32
@@ -247,24 +317,35 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
         rnp = jnp.pad(r_norms.astype(jnp.float32), (0, np_ - n),
                       constant_values=jnp.inf)[None, :]
 
-    grid = (bp // tq, np_ // tn, dp // td)
+    two_d = dp == td
+    if two_d:
+        # One d tile covers the whole feature dim (the genotype/token
+        # path): drop the size-1 kd grid axis — Mosaic pipelines the 2D
+        # grid measurably faster (see _l2_topk_kernel).
+        grid = (bp // tq, np_ // tn)
+        qmap = lambda i, j: (i, 0)
+        rmap = lambda i, j: (j, 0)
+        nmap = lambda i, j: (0, j)
+        omap = lambda i, j: (i, 0)
+    else:
+        grid = (bp // tq, np_ // tn, dp // td)
+        qmap = lambda i, j, kd: (i, kd)
+        rmap = lambda i, j, kd: (j, kd)
+        nmap = lambda i, j, kd: (0, j)
+        omap = lambda i, j, kd: (i, 0)
 
     vals, ids = pl.pallas_call(
-        functools.partial(_l2_topk_kernel, k=k, tn=tn, in_dtype=refs.dtype),
+        functools.partial(_l2_topk_kernel, k=k, tn=tn, in_dtype=refs.dtype,
+                          two_d=two_d),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tq, td), lambda i, j, kd: (i, kd),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, td), lambda i, j, kd: (j, kd),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda i, j, kd: (0, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, td), qmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, td), rmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), nmap, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tq, _K_LANES), lambda i, j, kd: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, _K_LANES), lambda i, j, kd: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, _K_LANES), omap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, _K_LANES), omap, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bp, _K_LANES), jnp.float32),
@@ -279,7 +360,7 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
             pltpu.VMEM((tq, _K_LANES), jnp.int32),    # running top-k ids
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",) * len(grid),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * np_ * dp,

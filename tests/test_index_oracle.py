@@ -119,3 +119,39 @@ def test_hamming_streaming_matches_direct(rng):
     np.testing.assert_array_equal(np.asarray(dv), np.asarray(sv))
     np.testing.assert_array_equal(np.asarray(di), np.asarray(si))
     assert not np.isin(np.asarray(si), np.arange(50, 60)).any()
+
+
+def test_aligned_build_matches_unaligned(rng, tmp_path):
+    """align=True pads storage to the kernel tile multiples (n to 512,
+    d to the d-tile) without changing any search result, the logical
+    ntotal/d, or the save/load round trip."""
+    r = rng.standard_normal((300, 130)).astype(np.float32)
+    q = rng.standard_normal((9, 130)).astype(np.float32)
+    plain = FlatL2Index.build(r)
+    aligned = FlatL2Index.build(r, align=True)
+    assert aligned.vectors.shape[0] % 512 == 0
+    assert aligned.vectors.shape[1] % 128 == 0
+    assert (aligned.ntotal, aligned.d) == (plain.ntotal, plain.d) == (300, 130)
+    for kw in ({}, {"approx": True}):
+        v1, i1 = plain.search(q, 5, **kw)
+        v2, i2 = aligned.search(q, 5, **kw)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=1e-5, atol=1e-4)
+    # padded rows can never be retrieved
+    assert (np.asarray(aligned.search(q, 5)[1]) < 300).all()
+
+    keep = rng.integers(0, 2, 130).astype(np.float32)
+    v1, i1 = plain.masked_search(q, jnp.asarray(keep), k=5)
+    v2, i2 = aligned.masked_search(q, jnp.asarray(keep), k=5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-5, atol=1e-4)
+
+    path = str(tmp_path / "aligned.idx")
+    aligned.save(path)
+    back = FlatL2Index.load(path)
+    assert (back.ntotal, back.d) == (300, 130)
+    v3, i3 = back.search(q, 5)
+    np.testing.assert_array_equal(np.asarray(aligned.search(q, 5)[1]),
+                                  np.asarray(i3))

@@ -66,6 +66,9 @@ def main():
                     help="ModelConfig field=value (python literal)")
     ap.add_argument("--fwd-only", action="store_true",
                     help="time eval_step (no grad/optimizer) instead")
+    ap.add_argument("--grad-only", action="store_true",
+                    help="time value_and_grad WITHOUT the optimizer "
+                    "update/metrics (isolates bwd cost from Adam)")
     ap.add_argument("--no-rag", action="store_true",
                     help="ctx=None: isolates the encoder+heads cost")
     ap.add_argument("--iters", type=int, default=8)
@@ -133,12 +136,32 @@ def main():
         from rag_snvbert_tpu.train.step import eval_step
         fn = lambda: eval_step(state, batch, ctx, embed_fn, cfg)
         r = steady_state_ms(fn, iters_lo=2, iters_hi=args.iters)
+    elif args.grad_only:
+        from rag_snvbert_tpu.train.step import _forward
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("efn", "scfg"))
+        def grad_step(params, batch, ctx, rng, efn, scfg):
+            def loss_fn(p):
+                loss, _ = _forward(model.apply, efn, p, batch, ctx, scfg,
+                                   deterministic=False, dropout_rng=rng,
+                                   mesh=None)
+                return loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            # one scalar touching every grad leaf (forces the whole bwd)
+            gsum = sum(jnp.sum(jnp.abs(g).astype(jnp.float32) % 7)
+                       for g in jax.tree.leaves(grads))
+            return loss + 1e-30 * gsum
+
+        fn = lambda: grad_step(state.params, batch, ctx, rng, embed_fn, cfg)
+        r = steady_state_ms(fn, iters_lo=2, iters_hi=args.iters)
     else:
         step = lambda st: train_step(st, batch, ctx, rng, embed_fn, cfg)
         r = chained_state_ms(step, state, iters_lo=2, iters_hi=args.iters)
 
     out = {"preset": args.preset, "batch": b,
            "overrides": args.override, "fwd_only": args.fwd_only,
+           "grad_only": args.grad_only,
            "no_rag": args.no_rag,
            "ms_per_step": round(r["per_iter_ms"], 2),
            "ms_per_sample": round(r["per_iter_ms"] / b, 3)}
