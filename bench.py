@@ -178,22 +178,27 @@ def main():
     n_check, oc = 512, 64
 
     @jax.jit
-    def oracle(vectors, q):
+    def oracle(vectors, norms, q):
+        # aligned storage: pad queries to the stored width; +inf norms
+        # exclude the padded rows from the oracle's top-k too.
+        q = jnp.pad(q, ((0, 0), (0, vectors.shape[1] - q.shape[1])))
         rf = vectors.astype(jnp.float32)
-        dm = l2_ref.l2_distances(q.astype(jnp.float32), rf)
+        dm = l2_ref.l2_distances(q.astype(jnp.float32), rf, r_norms=norms)
         return l2_ref.topk_smallest(dm, k)
 
     from rag_snvbert_tpu.ops.l2_topk_pallas import l2_topk_pallas
 
     q_check = qs[0][:n_check]
+    q_check_p = jnp.pad(
+        q_check, ((0, 0), (0, idx.vectors.shape[1] - q_check.shape[1])))
     ovs, ois = [], []
     for i in range(0, n_check, oc):
-        ov, oi = oracle(idx.vectors, q_check[i : i + oc])
+        ov, oi = oracle(idx.vectors, idx.norms, q_check[i : i + oc])
         ovs.append(np.asarray(ov))
         ois.append(np.asarray(oi))
     ov = np.concatenate(ovs)          # [n_check, k] exact distances
     oi = np.concatenate(ois)
-    kv, ki = l2_topk_pallas(q_check, idx.vectors, idx.norms, k)
+    kv, ki = l2_topk_pallas(q_check_p, idx.vectors, idx.norms, k)
     kv, ki = np.asarray(kv), np.asarray(ki)
     in_topk = (ki[:, :, None] == oi[:, None, :]).any(-1)      # id match
     ties = np.abs(kv - ov[:, -1][:, None]) <= (1e-3 * np.abs(ov[:, -1][:, None]) + 1e-3)

@@ -180,6 +180,8 @@ class FlatL2Index:
         dtype_name = str(v.dtype)
         if v.dtype == jnp.bfloat16:  # npz has no bf16; store f32 + tag
             v = v.astype(jnp.float32)
+        elif v.dtype == jnp.int4:    # npz has no int4; store int8 + tag
+            v = v.astype(jnp.int8)
         np.savez(path, vectors=np.asarray(v), norms=np.asarray(self.norms),
                  dtype=np.asarray(dtype_name),
                  n_real=np.asarray(-1 if self.n_real is None else self.n_real),
@@ -191,6 +193,8 @@ class FlatL2Index:
         v = jax.device_put(z["vectors"], device)
         if "dtype" in z and str(z["dtype"]) == "bfloat16":
             v = v.astype(jnp.bfloat16)
+        elif "dtype" in z and str(z["dtype"]) == "int4":
+            v = v.astype(jnp.int4)
         n = jax.device_put(z["norms"], device)
 
         def real(key):

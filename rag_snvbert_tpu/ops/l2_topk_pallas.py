@@ -19,7 +19,7 @@ Merge design (round 2, replacing the k-pass extraction that capped the
 kernel at ~12% MXU):
   - distances are packed into *sortable int32 keys*: the f32 distance bits
     (monotonic under int32 comparison for non-negative floats) with the low
-    9 mantissa bits replaced by the lane id.  Keys are unique per row, so a
+    10 mantissa bits replaced by the lane id.  Keys are unique per row, so a
     single ``where(keys == min)`` knockout is exact, and the min itself
     encodes both the (quantized) distance and the within-tile id;
   - the running top-k buffer stores keys with the id bits cleared (pure
@@ -31,12 +31,12 @@ kernel at ~12% MXU):
     buffer.  After warm-up the expected number of new top-k candidates per
     tile is ~k/j (j = tile index), so the loop runs 0-2 iterations instead
     of k fixed extraction passes over every distance;
-  - ordering is by distance *quantized to 512 ULP* (relative error
-    <= 2^-14 ~ 6e-5), ties broken by ascending reference id (lane bits
+  - ordering is by distance *quantized to 1024 ULP* (relative error
+    <= 2^-13 ~ 1.2e-4), ties broken by ascending reference id (lane bits
     within a tile, first-tile-wins across tiles).  For integer-valued
     vectors (genotype / token indexes, distances < 16384) the quantization
     is lossless and the result is bit-exact; for float embeddings the
-    2^-14 reordering window is below the norm-expansion's own cancellation
+    2^-13 reordering window is below the norm-expansion's own cancellation
     noise (the same expansion FAISS uses).  Returned distances are the
     quantized values.
 
@@ -58,15 +58,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _K_LANES = 128   # top-k buffer lane width (k <= 128 supported)
-_ID_BITS = 9     # low mantissa bits of each key carry the within-tile lane id
-_ID_MASK = (1 << _ID_BITS) - 1          # 0x1FF
+_ID_BITS = 11    # low mantissa bits of each key carry the within-tile lane
+# id.  11 bits allow 2048-lane ref tiles — each doubling of the ref tile
+# halves the merge-gate fires, measured round 3 as the dominant epilogue
+# cost (tn 512 -> 1024 -> 2048: 20.9 -> 16.5 -> 13.7 ms/batch).  Cost of
+# the wider id field: the f32 distance quantum is 2048 ULP (relative
+# error <= 2^-12, still under norm-expansion noise) and integer
+# distances stay lossless below the 2^20 cap.
+_ID_MASK = (1 << _ID_BITS) - 1          # 0x3FF
 _KEY_MASK = ~_ID_MASK                   # clears the id bits -> quantized dist
 _MAX_KEY = 2**31 - 1  # plain int: a jnp scalar would be a captured constant
 _INF_KEY = 0x7F800000 & _KEY_MASK       # +inf distance, id bits cleared
 # Integer path: distances clamp at this cap so (dist << ID_BITS) never
 # overflows; the cap doubles as the padding sentinel (a capped key equals
 # the buffer-init key, so capped rows are never retrieved).
-_INT_DIST_CAP = _MAX_KEY >> _ID_BITS    # 0x3FFFFF
+_INT_DIST_CAP = _MAX_KEY >> _ID_BITS    # 0x1FFFFF
 _INT_INF_KEY = _INT_DIST_CAP << _ID_BITS
 
 
@@ -84,7 +90,16 @@ def default_td(d: int, dtype) -> int:
     return min(td, _round_up(max(d, 128), 128))
 
 
-def ref_alignment(d: int, dtype, tn: int = 512) -> tuple[int, int]:
+def default_tn(dtype) -> int:
+    """Default ref-tile lanes: as wide as VMEM affords for the dtype —
+    wider tiles mean fewer merge-gate fires (the dominant epilogue cost;
+    see _ID_BITS).  int8 storage affords the full 2^ID_BITS lanes; f32 /
+    bf16 tiles are 4x / 2x the bytes, so they cap lower to keep the
+    double-buffered ref tile inside VMEM."""
+    return 2048 if jnp.dtype(dtype).itemsize == 1 else 1024
+
+
+def ref_alignment(d: int, dtype, tn: int | None = None) -> tuple[int, int]:
     """(n_multiple, d_padded) that make the wrapper's ref pads no-ops.
 
     Padding the [N, d] reference matrix *at build time* (rows with +inf
@@ -92,6 +107,8 @@ def ref_alignment(d: int, dtype, tn: int = 512) -> tuple[int, int]:
     the in-jit ``jnp.pad`` of a chromosome-scale int8 index (1.36 GB)
     measured ~3 ms of the 24 ms batch on v5e (tools/sweep_topk --prepad:
     42.7k -> 48.8k QPS)."""
+    if tn is None:
+        tn = default_tn(dtype)
     return tn, _round_up(max(d, 128), default_td(d, dtype))
 
 
@@ -206,7 +223,7 @@ def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
             else:
                 dist = jnp.maximum(0.25 * qn[:] - acc[:], 0.0)
                 # Packed sortable keys: non-negative f32 bits are
-                # monotonic under int32 comparison; the low 9 mantissa
+                # monotonic under int32 comparison; the low 10 mantissa
                 # bits become the lane id so keys are unique per row and
                 # the min encodes (dist, id).
                 keys = (pltpu.bitcast(dist, jnp.int32) & _KEY_MASK) | lanes
@@ -255,9 +272,108 @@ def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
             ids_ref[:] = top_ids[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tq", "tn", "td", "interpret"))
+def _l2_topk_kernel_rf(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
+                       qn, top_keys, top_ids, *, k: int, tn: int, tq: int,
+                       in_dtype):
+    """Refs-outermost order (round 3): the grid is (ref tiles, query
+    tiles), so each ref tile streams from HBM ONCE and is reused across
+    every query tile — vs the (i, j) order's bp/tq re-streams of the
+    whole chromosome-scale matrix (~4x at the bench point).  Query tiles
+    stay small (tq=256) because merge cost scales with tile rows
+    (measured: tq 256 -> 1024 loses 6+ ms).  Per-query-tile top-k
+    state lives in row-sliced scratch ([bp, K], sliced by i); outputs
+    are written on the last ref tile, with earlier grid steps' flushes
+    parked on block 0 via the index map (no per-j garbage flushes of
+    every query block).  Single whole-d tile only (the genotype/token
+    path).  Epilogue logic mirrors _l2_topk_kernel exactly."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    nn = pl.num_programs(0)
+    rows = pl.ds(i * tq, tq)
+    integer = jnp.issubdtype(jnp.dtype(in_dtype), jnp.integer)
+    acc_t = jnp.int32 if integer else jnp.float32
+    inf_key = _INT_INF_KEY if integer else _INF_KEY
+
+    @pl.when(j == 0)
+    def _():
+        top_keys[rows, :] = jnp.full((tq, _K_LANES), inf_key, jnp.int32)
+        top_ids[rows, :] = jnp.zeros((tq, _K_LANES), jnp.int32)
+        qf = q_ref[:].astype(acc_t)
+        qn[rows, :] = jnp.sum(qf * qf, axis=1, keepdims=True)
+
+    precision = (jax.lax.Precision.HIGHEST
+                 if in_dtype == jnp.float32 else None)
+    # Norm-fused single-tile accumulation as a VALUE (no acc scratch):
+    # a = 2<q,r> - |r|^2 (queries pre-doubled by the wrapper).
+    a = jax.lax.dot_general(
+        q_ref[:], r_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc_t, precision=precision) - rn_ref[:]
+
+    qn_i = qn[rows, :]
+    tau = top_keys[rows, k - 1:k]
+    if integer:
+        thr = (qn_i >> 2) - (tau >> _ID_BITS)
+        gate = jnp.any(a > thr)
+    else:
+        tau_next = pltpu.bitcast(
+            jnp.minimum(tau + (1 << _ID_BITS), _INF_KEY), jnp.float32)
+        thr = 0.25 * qn_i - tau_next
+        gate = jnp.any(a > thr)
+
+    @pl.when(gate)
+    def _():
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (tq, tn), 1)
+        if integer:
+            dist = jnp.clip((qn_i >> 2) - a, 0, _INT_DIST_CAP)
+            keys = (dist << _ID_BITS) | lanes
+        else:
+            dist = jnp.maximum(0.25 * qn_i - a, 0.0)
+            keys = (pltpu.bitcast(dist, jnp.int32) & _KEY_MASK) | lanes
+
+        m0 = jnp.min(keys, axis=1, keepdims=True)
+        li = jax.lax.broadcasted_iota(jnp.int32, (tq, _K_LANES), 1)
+
+        def cond(carry):
+            _, m, tau_c = carry
+            return jnp.any((m & _KEY_MASK) < tau_c)
+
+        def body(carry):
+            keys_c, m, _ = carry
+            qkey = m & _KEY_MASK
+            gid = j * tn + (m & _ID_MASK)
+            tk = top_keys[rows, :]
+            ti = top_ids[rows, :]
+            pos = jnp.sum((tk <= qkey).astype(jnp.int32),
+                          axis=1, keepdims=True)
+            sk = pltpu.roll(tk, 1, axis=1)
+            si = pltpu.roll(ti, 1, axis=1)
+            top_keys[rows, :] = jnp.where(
+                li < pos, tk, jnp.where(li == pos, qkey, sk))
+            top_ids[rows, :] = jnp.where(
+                li < pos, ti, jnp.where(li == pos, gid, si))
+            keys_n = jnp.where(keys_c == m, _MAX_KEY, keys_c)
+            m_n = jnp.min(keys_n, axis=1, keepdims=True)
+            return keys_n, m_n, top_keys[rows, k - 1:k]
+
+        jax.lax.while_loop(cond, body, (keys, m0, tau))
+
+    @pl.when(j == nn - 1)
+    def _():
+        tk = top_keys[rows, :]
+        if integer:
+            vals_ref[:] = jnp.where(tk >= _INT_INF_KEY, jnp.inf,
+                                    (tk >> _ID_BITS).astype(jnp.float32))
+        else:
+            vals_ref[:] = pltpu.bitcast(tk, jnp.float32)
+        ids_ref[:] = top_ids[rows, :]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tq", "tn", "td",
+                                             "order", "interpret"))
 def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
-                   k: int, tq: int = 256, tn: int = 512, td: int | None = None,
+                   k: int, tq: int = 256, tn: int | None = None,
+                   td: int | None = None,
+                   order: str = "auto",
                    interpret: bool = False) -> tuple[jax.Array, jax.Array]:
     """Exact k-NN by squared L2 with the fused Pallas kernel.
 
@@ -267,28 +383,44 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
       r_norms: ``[N]`` f32 squared norms of refs (precomputed; pass +inf for
         rows that must never be retrieved, e.g. padding).
       k: number of neighbours (1 <= k <= 128).
+      order: grid order — "qfirst" (query tiles outermost; refs stream
+        bp/tq times), "rfirst" (ref tiles outermost; refs stream ONCE,
+        top-k state in row-sliced scratch — single-d-tile shapes only),
+        or "auto" (rfirst when eligible and the [B, K] state fits VMEM).
 
     Returns:
-      (dists ``[B, k]`` f32 squared distances quantized to 512 ULP
+      (dists ``[B, k]`` f32 squared distances quantized to 1024 ULP
       (bit-exact for integer-valued vectors), ids ``[B, k]`` int32), sorted
       ascending, ties broken by ascending id.
     """
     assert 1 <= k <= _K_LANES, f"k={k} out of range (max {_K_LANES})"
+    if tn is None:
+        tn = default_tn(refs.dtype)
     b, d = queries.shape
     n, d2 = refs.shape
     assert d == d2 and r_norms.shape == (n,)
     assert tn <= (1 << _ID_BITS), f"tn={tn} exceeds id-bit capacity"
 
+    if interpret and refs.dtype == jnp.int4:
+        # The CPU interpreter cannot lower sub-byte dots ("custom element
+        # sizes on non-sub-byte types"); int8 math is exact for the same
+        # values, so interpret-mode tests still cover the int4 wrapper
+        # path while the real 4-bit MXU dot is exercised on TPU only.
+        refs = refs.astype(jnp.int8)
     integer = jnp.issubdtype(refs.dtype, jnp.integer)
     if integer:
         # Integer path (genotype/token vectors): distances are exact int32
-        # and the MXU runs int8 at double rate.  Key packing needs
-        # dist < 2^22, i.e. small element values: |q_i - r_i| <= 22 at
-        # d = 8192 (binary and vocab-sized tokens are far inside).  The
+        # and the MXU runs int8 at double rate (int4 faster still: 296 vs
+        # 270 TOPs measured, with half the ref-streaming bytes — the
+        # natural storage for binary genotypes).  Key packing needs
+        # dist < 2^20, i.e. small element values: |q_i - r_i| <= 16 at
+        # d = 4096 (binary genotypes and vocab-sized tokens are inside;
+        # the clip to _INT_DIST_CAP keeps overflow safe regardless, at
+        # the cost of ordering among capped rows only).  The
         # norm-fused accumulator additionally needs 2*q to fit the
-        # storage dtype, i.e. |q_i| <= 63 for int8 — far above any
-        # genotype/token value.
-        assert d < (1 << 13), "int path supports d < 8192 (key overflow)"
+        # storage dtype: |q_i| <= 63 for int8, |q_i| <= 3 for int4 —
+        # binary vectors are inside both.
+        assert d <= (1 << 12), "int path supports d <= 4096 (key overflow)"
     # Pre-double so the kernel's accumulator lands on 2<q,r> - |r|^2
     # directly (see _l2_topk_kernel).  Cast first (preserving the
     # storage-dtype rounding semantics), then double — exact for floats
@@ -318,25 +450,59 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
                       constant_values=jnp.inf)[None, :]
 
     two_d = dp == td
-    if two_d:
+    if order == "auto":
+        # rfirst streams the (large) ref matrix once instead of bp/tq
+        # times; its [bp, K] top-k state must fit VMEM comfortably.
+        order = "rfirst" if two_d and bp <= 4096 else "qfirst"
+    assert order in ("qfirst", "rfirst")
+    rfirst = order == "rfirst" and two_d
+    nn_tiles = np_ // tn
+    if rfirst:
+        grid = (nn_tiles, bp // tq)
+        qmap = lambda j, i: (i, 0)
+        rmap = lambda j, i: (j, 0)
+        nmap = lambda j, i: (0, j)
+        # Outputs are only written on the last ref tile; park every
+        # earlier grid step's buffer flush on block 0 so the (i-indexed)
+        # output blocks are not garbage-flushed once per (j, i) step.
+        omap = lambda j, i: (jnp.where(j == nn_tiles - 1, i, 0), 0)
+        kernel = functools.partial(_l2_topk_kernel_rf, k=k, tn=tn, tq=tq,
+                                   in_dtype=refs.dtype)
+        scratch = [
+            pltpu.VMEM((bp, 1),                       # query norms (per i)
+                       jnp.int32 if integer else jnp.float32),
+            pltpu.VMEM((bp, _K_LANES), jnp.int32),    # running top-k keys
+            pltpu.VMEM((bp, _K_LANES), jnp.int32),    # running top-k ids
+        ]
+    elif two_d:
         # One d tile covers the whole feature dim (the genotype/token
         # path): drop the size-1 kd grid axis — Mosaic pipelines the 2D
         # grid measurably faster (see _l2_topk_kernel).
-        grid = (bp // tq, np_ // tn)
+        grid = (bp // tq, nn_tiles)
         qmap = lambda i, j: (i, 0)
         rmap = lambda i, j: (j, 0)
         nmap = lambda i, j: (0, j)
         omap = lambda i, j: (i, 0)
     else:
-        grid = (bp // tq, np_ // tn, dp // td)
+        grid = (bp // tq, nn_tiles, dp // td)
         qmap = lambda i, j, kd: (i, kd)
         rmap = lambda i, j, kd: (j, kd)
         nmap = lambda i, j, kd: (0, j)
         omap = lambda i, j, kd: (i, 0)
+    if not rfirst:
+        kernel = functools.partial(_l2_topk_kernel, k=k, tn=tn,
+                                   in_dtype=refs.dtype, two_d=two_d)
+        scratch = [
+            pltpu.VMEM((tq, tn),                      # dot-product accumulator
+                       jnp.int32 if integer else jnp.float32),
+            pltpu.VMEM((tq, 1),                       # query norms
+                       jnp.int32 if integer else jnp.float32),
+            pltpu.VMEM((tq, _K_LANES), jnp.int32),    # running top-k keys
+            pltpu.VMEM((tq, _K_LANES), jnp.int32),    # running top-k ids
+        ]
 
     vals, ids = pl.pallas_call(
-        functools.partial(_l2_topk_kernel, k=k, tn=tn, in_dtype=refs.dtype,
-                          two_d=two_d),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tq, td), qmap, memory_space=pltpu.VMEM),
@@ -351,14 +517,7 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
             jax.ShapeDtypeStruct((bp, _K_LANES), jnp.float32),
             jax.ShapeDtypeStruct((bp, _K_LANES), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((tq, tn),                      # dot-product accumulator
-                       jnp.int32 if integer else jnp.float32),
-            pltpu.VMEM((tq, 1),                       # query norms
-                       jnp.int32 if integer else jnp.float32),
-            pltpu.VMEM((tq, _K_LANES), jnp.int32),    # running top-k keys
-            pltpu.VMEM((tq, _K_LANES), jnp.int32),    # running top-k ids
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * len(grid),
         ),

@@ -98,6 +98,13 @@ class TrainerConfig:
     mask_schedule: str = "level"
     mask_start: float = 0.15           # continuous-schedule ramp bounds
     mask_end: float = 0.8
+    # Record a host timestamp after every dispatched step into
+    # ``Trainer.step_marks`` (cleared per epoch).  Dispatch is async, but
+    # donated state buffers throttle the loop to the device rate once the
+    # pipeline fills, so mark deltas give the realizable per-step
+    # distribution — used by tools/bench_epoch_window for the full-epoch
+    # evidence run.
+    record_step_times: bool = False
     # Train steps fused per device dispatch: consecutive same-window
     # batches are stacked [K, ...] and lax.scan runs K optimizer steps in
     # one jitted call (train/step.train_step_scan) — semantics identical,
@@ -198,6 +205,7 @@ class Trainer:
         self.cfg = cfg
         self.mesh = mesh
         self.level = 0
+        self.step_marks: list | None = None  # see record_step_times
         self.start_epoch = 0
         self.stopper = EarlyStopping(cfg.patience, cfg.min_delta)
         self.step_cfg = StepConfig(
@@ -328,6 +336,7 @@ class Trainer:
         acc = jax.tree.map(lambda x: x.copy(), acc)
         n_batches = 0
         t0 = time.time()
+        self.step_marks = [] if self.cfg.record_step_times else None
         current_wid = -1
         ctx = None
         prefetched: dict[int, object] = {}
@@ -392,6 +401,8 @@ class Trainer:
                                        self.embed_fn, self.step_cfg,
                                        mesh=step_mesh, acc=acc)
                 n_batches += 1
+            if self.step_marks is not None:
+                self.step_marks.append(time.time())
             if train and n_batches % self.cfg.log_freq == 0:
                 self._log({"event": "step", "epoch": epoch,
                            "batch": n_batches,

