@@ -360,7 +360,37 @@ def _load_infer_model(args):
     else:
         vocab_size = args.vocab_size
     rag_mode = args.rag_mode
-    if args.preset:
+    from ..interop import load_convert_meta
+
+    cmeta = load_convert_meta(args.model_path)
+    if cmeta is not None:
+        # Converted reference checkpoint: build the exact architecture the
+        # conversion recorded (post-LN, frozen BatchNorm position stats,
+        # logits heads) instead of trusting preset/flags.
+        import jax.numpy as jnp
+
+        from ..models import BERT, BERTWithRAG
+
+        if rag_mode is None:
+            rag_mode = cmeta["rag_mode"]
+        cls = {"embedding": BERTWithEmbeddingRAG, "token": BERTWithRAG,
+               "none": BERT}[rag_mode]
+        bert = cls(vocab_size=cmeta["vocab_size"], dims=cmeta["dims"],
+                   n_layers=cmeta["n_layers"],
+                   attn_heads=cmeta["attn_heads"],
+                   pre_ln=cmeta.get("pre_ln", False),
+                   pos_norm=cmeta.get("pos_norm", "frozen_batch"),
+                   dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                   attn_dropout=0.0 if args.no_attn_dropout else None,
+                   # scan_layers stacks the block params; converted ckpts
+                   # are written per-block, so it must stay off here.
+                   scan_layers=False,
+                   score_dtype=(jnp.bfloat16 if args.score_bf16
+                                else jnp.float32))
+        model = BERTFoundationModel(
+            bert=bert,
+            compat_double_softmax=cmeta.get("compat_double_softmax", False))
+    elif args.preset:
         from ..config import get_preset
 
         preset = get_preset(args.preset)
@@ -536,6 +566,30 @@ def cmd_analyze(args):
         print(json.dumps(inspect_freq(args.freq_path), indent=2))
 
 
+def cmd_convert_ckpt(args):
+    """Reference torch checkpoint -> servable flax checkpoint.
+
+    Handles both the reference trainer's whole-module pickles
+    (src/main/pretrain_with_val_optimized.py:524-548 — needs --ref-src
+    pointing at the RAG-SNVBERT repo so the pickle's classes resolve)
+    and raw state_dict pickles.  The output directory drops straight
+    into ``infer/serve --model_path`` (architecture auto-configured
+    from convert_meta.json)."""
+    from ..interop import convert_state_dict, load_torch_checkpoint, \
+        save_converted
+
+    sd, heads = load_torch_checkpoint(args.torch_ckpt, ref_src=args.ref_src)
+    params, meta = convert_state_dict(sd, rag_mode=args.rag_mode)
+    meta["attn_heads"] = args.attn_heads or heads
+    if meta["attn_heads"] is None:
+        raise SystemExit("attention head count is not recoverable from a "
+                         "raw state_dict — pass --attn-heads")
+    save_converted(params, meta, args.out)
+    print(json.dumps({k: meta[k] for k in
+                      ("dims", "n_layers", "attn_heads", "vocab_size",
+                       "rag_mode")} | {"out": os.path.abspath(args.out)}))
+
+
 # ---------------------------------------------------------------------------
 
 def build_parser() -> argparse.ArgumentParser:
@@ -704,6 +758,25 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--run_dir", default=None)
     pa.add_argument("--freq_path", default=None)
     pa.set_defaults(fn=cmd_analyze)
+
+    pc = sub.add_parser("convert-ckpt", help="convert a trained reference "
+                        "(torch) checkpoint for TPU serving")
+    pc.add_argument("--torch_ckpt", required=True,
+                    help="reference checkpoint (whole-module pickle, e.g. "
+                         "rag_bert.model.ep12, or a raw state_dict)")
+    pc.add_argument("--out", required=True, help="output checkpoint dir "
+                    "(usable as infer/serve --model_path)")
+    pc.add_argument("--ref-src", dest="ref_src", default=None,
+                    help="RAG-SNVBERT repo root, required to unpickle "
+                         "whole-module checkpoints")
+    pc.add_argument("--attn-heads", dest="attn_heads", type=int, default=None,
+                    help="needed only for raw state_dicts (not inferable "
+                         "from tensor shapes)")
+    pc.add_argument("--rag-mode", dest="rag_mode", default=None,
+                    choices=["embedding", "token", "none"],
+                    help="override auto-detection (V17 token checkpoints "
+                         "share V18's parameter surface — pass 'token')")
+    pc.set_defaults(fn=cmd_convert_ckpt)
 
     return p
 

@@ -38,6 +38,7 @@ class ModelConfig:
     int8_matmuls: bool | str = False  # int8 encoder matmuls (MXU 2x path):
     # True/"fwd_bwd" = fwd+bwd, "fwd" = int8 forward with bf16 gradients
     compat_double_softmax: bool = False
+    pos_norm: str = "group"       # "frozen_batch" for converted torch ckpts
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,7 +76,8 @@ class RunConfig:
                    score_dtype=jnp.bfloat16 if m.score_bf16 else jnp.float32,
                    dropout_broadcast=m.dropout_broadcast,
                    fused_qkv=m.fused_qkv,
-                   int8_matmuls=m.int8_matmuls)
+                   int8_matmuls=m.int8_matmuls,
+                   pos_norm=m.pos_norm)
         return BERTFoundationModel(bert=bert,
                                    compat_double_softmax=m.compat_double_softmax)
 

@@ -39,11 +39,15 @@ class BERT(nn.Module):
     dropout_broadcast: bool = False  # sequence-shared residual-dropout masks
     fused_qkv: bool = False          # one [D,3D] QKV projection
     int8_matmuls: bool = False       # int8 fwd+bwd encoder matmuls (ops/quant)
+    pos_norm: str = "group"          # PositionFeatModule norm; converted
+    # torch checkpoints use "frozen_batch" (see interop/torch_ckpt.py)
 
     def setup(self):
         self.embedding = BERTEmbedding(self.vocab_size, self.dims,
                                        self.dropout, dtype=self.dtype)
-        self.emb_fusion = EmbeddingFusionModule(self.dims, dtype=self.dtype)
+        self.emb_fusion = EmbeddingFusionModule(self.dims,
+                                                pos_norm=self.pos_norm,
+                                                dtype=self.dtype)
         self.encoder = Encoder(self.n_layers, self.dims, self.attn_heads,
                                self.dropout, self.pre_ln, self.remat,
                                dtype=self.dtype,

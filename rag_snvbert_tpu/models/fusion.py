@@ -30,12 +30,40 @@ _bias01 = nn.initializers.constant(0.1)
 _bias001 = nn.initializers.constant(0.01)
 
 
+class FrozenBatchNorm(nn.Module):
+    """Inference-mode BatchNorm whose statistics live in ``params``.
+
+    Exists for torch-checkpoint interop (interop/torch_ckpt.py): the
+    reference's PositionFeatModule normalizes with BatchNorm1d
+    (src/model/fusion.py:312-314), so a trained reference checkpoint
+    carries running_mean/running_var that must ride along in conversion.
+    Storing them as stop-gradient *parameters* (rather than a
+    ``batch_stats`` collection) keeps every existing apply site working
+    unchanged, and a fine-tune cannot drift the frozen statistics —
+    matching torch fine-tuning practice of keeping BN in eval mode."""
+
+    eps: float = 1e-5  # torch BatchNorm1d default
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = jax.lax.stop_gradient(
+            self.param("mean", nn.initializers.zeros, (c,)))
+        var = jax.lax.stop_gradient(
+            self.param("var", nn.initializers.ones, (c,)))
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return (x - mean) * inv + bias
+
+
 class PositionFeatModule(nn.Module):
     """1D conv stack over the normalized-position channel."""
 
     hidden_channels: int = 4
     kernel_size: int = 9
-    norm: str = "group"  # "group" (stateless) | "none" | "batch"
+    norm: str = "group"  # "group" (stateless) | "none" | "batch" |
+    # "frozen_batch" (converted torch checkpoints)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -48,6 +76,8 @@ class PositionFeatModule(nn.Module):
                 return nn.GroupNorm(num_groups=1)(x)
             if self.norm == "batch":
                 return nn.BatchNorm(use_running_average=deterministic)(x)
+            if self.norm == "frozen_batch":
+                return FrozenBatchNorm()(x)
             return x
 
         h = nn.Conv(self.hidden_channels, (self.kernel_size,), padding="SAME")(h)
