@@ -310,7 +310,35 @@ def cmd_train(args):
     train_ids = np.load(args.train_samples) if args.train_samples else None
     val_ids = np.load(args.val_samples) if args.val_samples else None
 
-    if preset is not None:
+    init_meta = None
+    if args.init_from:
+        from ..interop import load_convert_meta
+
+        init_meta = load_convert_meta(args.init_from)
+    if init_meta is not None:
+        # Fine-tuning a converted reference checkpoint: the architecture
+        # comes from convert_meta.json (post-LN, frozen BatchNorm stats,
+        # per-block params); training-perf knobs (remat, flash kernels,
+        # dtypes) still come from the preset.
+        import dataclasses
+        if init_meta["vocab_size"] != vocab.size:
+            raise SystemExit(
+                f"converted checkpoint vocab_size={init_meta['vocab_size']} "
+                f"!= panel vocab {vocab.size} — population sets differ")
+        mc = dataclasses.replace(
+            base.model, dims=init_meta["dims"],
+            n_layers=init_meta["n_layers"],
+            attn_heads=init_meta["attn_heads"],
+            rag_mode=init_meta["rag_mode"],
+            pre_ln=init_meta.get("pre_ln", False),
+            pos_norm=init_meta.get("pos_norm", "frozen_batch"),
+            compat_double_softmax=init_meta.get("compat_double_softmax",
+                                                False),
+            # converted params are per-block and unfused
+            scan_layers=False, fused_qkv=False)
+        model = dataclasses.replace(base, model=mc).build_model(
+            vocab_size=vocab.size)
+    elif preset is not None:
         model = preset.build_model(vocab_size=vocab.size)
     else:
         bert = BERTWithEmbeddingRAG(vocab_size=vocab.size, dims=args.dims,
@@ -335,6 +363,8 @@ def cmd_train(args):
                       val_sample_ids=val_ids)
     if args.resume_path:
         trainer.restore_checkpoint(args.resume_path)
+    elif args.init_from:
+        trainer.init_params_from(args.init_from)
     result = trainer.fit()
     print(json.dumps({"best": result["best"],
                       "best_epoch": result["best_epoch"]}))
@@ -590,6 +620,24 @@ def cmd_convert_ckpt(args):
                        "rag_mode")} | {"out": os.path.abspath(args.out)}))
 
 
+def cmd_export_ckpt(args):
+    """TPU checkpoint -> reference torch state_dict (the reverse of
+    convert-ckpt): load the exported file in the reference codebase with
+    ``model.load_state_dict(torch.load(path))``.  Exact for models with
+    pos_norm="frozen_batch" (converted/fine-tuned reference
+    checkpoints); natively trained GroupNorm models need
+    --approx-pos-norm (position-branch numerics differ)."""
+    import torch
+
+    from ..interop import export_state_dict, load_params_checkpoint
+
+    params = load_params_checkpoint(args.ckpt)
+    sd = export_state_dict(params, approx_pos_norm=args.approx_pos_norm)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v
+                in sd.items()}, args.out)
+    print(json.dumps({"keys": len(sd), "out": os.path.abspath(args.out)}))
+
+
 # ---------------------------------------------------------------------------
 
 def build_parser() -> argparse.ArgumentParser:
@@ -660,6 +708,11 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--min_delta", type=float, default=None)
     pt.add_argument("--rare_threshold", type=float, default=None)
     pt.add_argument("--resume_path", default=None)
+    pt.add_argument("--init-from", dest="init_from", default=None,
+                    help="initialize weights from a params checkpoint "
+                         "(e.g. convert-ckpt output — fine-tune a trained "
+                         "reference model on TPU; fresh optimizer/epoch, "
+                         "unlike --resume_path)")
     pt.add_argument("--output_path", required=True)
     pt.add_argument("--log_freq", type=int, default=500)
     pt.add_argument("--seed", type=int, default=42)
@@ -777,6 +830,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="override auto-detection (V17 token checkpoints "
                          "share V18's parameter surface — pass 'token')")
     pc.set_defaults(fn=cmd_convert_ckpt)
+
+    pe = sub.add_parser("export-ckpt", help="export a TPU checkpoint as a "
+                        "reference (torch) state_dict")
+    pe.add_argument("--ckpt", required=True,
+                    help="trainer checkpoint dir or converted checkpoint dir")
+    pe.add_argument("--out", required=True, help="output .pt path")
+    pe.add_argument("--approx-pos-norm", dest="approx_pos_norm",
+                    action="store_true",
+                    help="allow exporting GroupNorm-trained models with "
+                         "identity-stats BatchNorm (numerics differ in the "
+                         "position branch)")
+    pe.set_defaults(fn=cmd_export_ckpt)
 
     return p
 

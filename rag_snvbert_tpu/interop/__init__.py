@@ -1,6 +1,9 @@
 from .torch_ckpt import (convert_state_dict, expected_reference_keys,
-                         load_torch_checkpoint, save_converted,
-                         load_convert_meta)
+                         export_state_dict, load_convert_meta,
+                         load_params_checkpoint, load_torch_checkpoint,
+                         save_converted)
 
 __all__ = ["convert_state_dict", "expected_reference_keys",
-           "load_torch_checkpoint", "save_converted", "load_convert_meta"]
+           "export_state_dict", "load_convert_meta",
+           "load_params_checkpoint", "load_torch_checkpoint",
+           "save_converted"]

@@ -21,9 +21,10 @@ Weight-layout rules (torch -> flax):
     reference's padding_idx=0 row is zero in a trained table, and this
     framework masks the pad row's output anyway)
   - buffers: ``embedding.position.pe`` is not copied — the sinusoidal
-    table is recomputed bit-identically (models/embeddings.py
-    ``sinusoidal_table`` mirrors src/model/embedding/position.py:9-38);
-    ``num_batches_tracked`` counters are dropped.
+    table is recomputed (models/embeddings.py ``sinusoidal_table``
+    mirrors src/model/embedding/position.py:9-38; f32 exp/sin ulps
+    magnified by position bound the difference at ~1e-4, inside the
+    end-to-end parity tolerance); ``num_batches_tracked`` dropped.
 
 The converted model must be built with ``pos_norm="frozen_batch"`` and
 post-LN topology (the defaults written to ``convert_meta.json``, which
@@ -389,6 +390,241 @@ def _to_jnp(tree, jnp):
     if isinstance(tree, dict):
         return {k: _to_jnp(v, jnp) for k, v in tree.items()}
     return jnp.asarray(tree)
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: flax params -> reference (torch) state_dict
+# ---------------------------------------------------------------------------
+
+def _take(tree: dict, *path: str):
+    """Pop ``tree[path[0]]...[path[-1]]``, pruning emptied dicts, so a
+    full export leaves an empty tree (leftovers = loud failure)."""
+    node, parents = tree, []
+    for p in path[:-1]:
+        parents.append((node, p))
+        node = node[p]
+    leaf = node.pop(path[-1])
+    for parent, key in reversed(parents):
+        if not parent[key]:
+            parent.pop(key)
+    return leaf
+
+
+def _np_sinusoidal(max_len: int, dims: int) -> np.ndarray:
+    """Regenerate the reference's pe buffer
+    (src/model/embedding/position.py:24-33).  Uses torch's own f32 ops
+    when torch is importable so the exported buffer is bit-identical to
+    a reference-initialized one (f32 exp/sin ulp differences get
+    magnified by position up to ~1e-4 otherwise); numpy fallback is
+    within that bound."""
+    import math
+
+    try:
+        import torch
+
+        position = torch.arange(0, max_len).float().unsqueeze(1)
+        div_term = (torch.arange(0, dims, 2).float()
+                    * -(math.log(10000.0) / dims)).exp()
+        pe = torch.zeros([max_len, dims]).float()
+        pe[:, 0::2] = torch.sin(position * div_term)
+        pe[:, 1::2] = torch.cos(position * div_term)
+        return pe.numpy()
+    except ImportError:
+        pass
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div_term = np.exp(np.arange(0, dims, 2, dtype=np.float32)
+                      * np.float32(-(math.log(10000.0) / dims)))
+    ang = (position * div_term).astype(np.float32)
+    pe = np.zeros((max_len, dims), np.float32)
+    pe[:, 0::2] = np.sin(ang)
+    pe[:, 1::2] = np.cos(ang[:, : pe[:, 1::2].shape[1]])
+    return pe
+
+
+def export_state_dict(params: dict, max_len: int = 1030,
+                      approx_pos_norm: bool = False
+                      ) -> dict[str, np.ndarray]:
+    """Flax params -> reference torch state_dict (the inverse of
+    ``convert_state_dict``), so a TPU-trained/fine-tuned model can be
+    loaded back into the reference codebase with
+    ``model.load_state_dict(torch.load(path))``.
+
+    Exact for ``pos_norm="frozen_batch"`` models (converted or
+    fine-tuned reference checkpoints): FrozenBatchNorm mean/var become
+    running_mean/running_var, eval-mode numerics identical.  Natively
+    trained models use GroupNorm, which torch BatchNorm1d cannot
+    represent — pass ``approx_pos_norm=True`` to map scale/bias onto
+    identity-stats BN (running_mean=0, running_var=1; numerics differ
+    through the 2-channel position branch) or retrain with
+    ``pos_norm="frozen_batch"`` for exactness.
+
+    The ``embedding.position.pe`` buffer is regenerated (same sinusoid
+    as src/model/embedding/position.py:9-38); works only for per-block
+    (``scan_layers=False``, unfused-QKV) parameter trees and raises
+    ValueError listing any leftover leaves otherwise.
+    """
+    import copy
+
+    params = copy.deepcopy(jax_tree_to_numpy(params))
+    with_heads = "hap_classifier" in params
+    bert = params["bert"] if with_heads else params
+    has_rag = "rag_fusion" in bert
+    n_layers = sum(k.startswith("block_") for k in bert["encoder"])
+    vocab_size, dims = bert["embedding"]["Embed_0"]["embedding"].shape
+    bp = "bert." if with_heads else ""
+    sd: dict[str, np.ndarray] = {}
+
+    def lin(dst, *path):
+        node = _take(params, *path)
+        sd[dst + ".weight"] = np.ascontiguousarray(node.pop("kernel").T)
+        sd[dst + ".bias"] = node.pop("bias")
+        assert not node, (dst, sorted(node))
+
+    def ln(dst, *path):
+        node = _take(params, *path)
+        sd[dst + ".weight"] = node.pop("scale")
+        sd[dst + ".bias"] = node.pop("bias")
+        assert not node, (dst, sorted(node))
+
+    def conv(dst, *path):
+        node = _take(params, *path)
+        sd[dst + ".weight"] = np.ascontiguousarray(
+            node.pop("kernel").transpose(2, 1, 0))
+        sd[dst + ".bias"] = node.pop("bias")
+        assert not node, (dst, sorted(node))
+
+    e = bp + "embedding."
+    emb_path = (["bert"] if with_heads else []) + ["embedding"]
+    sd[e + "tokenizer.weight"] = _take(params, *emb_path, "Embed_0",
+                                       "embedding")
+    sd[e + "position.pe"] = _np_sinusoidal(max_len, dims)[None]
+    sd[e + "af_embedding.basis_freqs"] = _take(params, *emb_path,
+                                               "AFEmbedding_0", "basis_freqs")
+    afe = emb_path + ["AFEmbedding_0"]
+    lin(e + "af_embedding.projection.0", *afe, "Dense_0")
+    ln(e + "af_embedding.projection.1", *afe, "LayerNorm_0")
+    lin(e + "af_embedding.projection.3", *afe, "Dense_1")
+
+    f = bp + "emb_fusion."
+    fus_path = (["bert"] if with_heads else []) + ["emb_fusion"]
+    pf = fus_path + ["pos_feat"]
+    for i in (1, 2, 3):
+        conv(f + f"pos_feat.conv{i}", *pf, f"Conv_{i - 1}")
+    pf_node = _take(params, *pf) if "pos_feat" in _node(
+        params, *fus_path) else {}
+    for i in (1, 2):
+        dst = f + f"pos_feat.norm{i}"
+        frozen = pf_node.pop(f"FrozenBatchNorm_{i - 1}", None)
+        group = pf_node.pop(f"GroupNorm_{i - 1}", None)
+        if frozen is not None:
+            sd[dst + ".weight"] = frozen["scale"]
+            sd[dst + ".bias"] = frozen["bias"]
+            sd[dst + ".running_mean"] = frozen["mean"]
+            sd[dst + ".running_var"] = frozen["var"]
+        elif not approx_pos_norm:
+            raise ValueError(
+                "params lack FrozenBatchNorm position stats (model was "
+                "trained with pos_norm='group' or 'none'); pass "
+                "approx_pos_norm=True to export identity-stats BatchNorm "
+                "(position-branch numerics will differ) or fine-tune with "
+                "pos_norm='frozen_batch'")
+        else:
+            c = 4  # PositionFeatModule hidden_channels
+            sd[dst + ".weight"] = (group["scale"] if group is not None
+                                   else np.ones(c, np.float32))
+            sd[dst + ".bias"] = (group["bias"] if group is not None
+                                 else np.zeros(c, np.float32))
+            sd[dst + ".running_mean"] = np.zeros(c, np.float32)
+            sd[dst + ".running_var"] = np.ones(c, np.float32)
+        sd[dst + ".num_batches_tracked"] = np.asarray(0, np.int64)
+    if pf_node:
+        raise ValueError(f"unexported pos_feat leaves: {sorted(pf_node)}")
+    lin(f + "fusion", *fus_path, "fusion")
+    ln(f + "norm", *fus_path, "LayerNorm_0")
+
+    enc = (["bert"] if with_heads else []) + ["encoder"]
+    for i in range(n_layers):
+        t = bp + f"transformer_blocks.{i}."
+        blk = enc + [f"block_{i}"]
+        for j, name in enumerate(("query", "key", "value")):
+            lin(t + f"attention.linear_layers.{j}", *blk, "attention", name)
+        lin(t + "attention.output_layer", *blk, "attention", "output")
+        lin(t + "feed_forward.w_1", *blk, "feed_forward", "w_1")
+        lin(t + "feed_forward.w_2", *blk, "feed_forward", "w_2")
+        ln(t + "feed_forward.norm", *blk, "feed_forward", "LayerNorm_0")
+        ln(t + "input_sublayer.norm", *blk, "LayerNorm_0")
+        ln(t + "output_sublayer.norm", *blk, "LayerNorm_1")
+
+    if has_rag:
+        r = bp + "rag_fusion."
+        rf = (["bert"] if with_heads else []) + ["rag_fusion"]
+        sd[r + "res_scale"] = _take(params, *rf, "res_scale").reshape(())
+        afi = rf + ["af_interaction"]
+        sd[r + "af_interaction.res_scale"] = _take(
+            params, *afi, "res_scale").reshape(())
+        lin(r + "af_interaction.gate_net.0", *afi, "Dense_0")
+        lin(r + "af_interaction.gate_net.2", *afi, "Dense_1")
+        lin(r + "af_interaction.joint_encoder.0", *afi, "Dense_2")
+        ln(r + "af_interaction.joint_encoder.1", *afi, "LayerNorm_0")
+        lin(r + "af_adapter.0", *rf, "Dense_0")
+        lin(r + "af_adapter.3", *rf, "Dense_1")
+        lin(r + "pooling.0", *rf, "pooling")
+        lin(r + "fusion.0", *rf, "Dense_2")
+        lin(r + "fusion.3", *rf, "Dense_3")
+        ln(r + "fusion.4", *rf, "LayerNorm_0")
+
+    if with_heads:
+        lin("hap_classifier.af_fusion.0", "hap_classifier", "Dense_0")
+        lin("hap_classifier.af_fusion.2", "hap_classifier", "Dense_1")
+        ln("hap_classifier.af_fusion.3", "hap_classifier", "LayerNorm_0")
+        lin("hap_classifier.net.0", "hap_classifier", "Dense_2")
+        lin("hap_classifier.net.2", "hap_classifier", "Dense_3")
+        lin("gt_classifier.gf_fusion", "gt_classifier", "Dense_0")
+        ln("gt_classifier.gf_norm", "gt_classifier", "LayerNorm_0")
+        lin("gt_classifier.layer.w_1", "gt_classifier", "Dense_1")
+        ln("gt_classifier.layer.norm", "gt_classifier", "LayerNorm_1")
+        lin("gt_classifier.layer.w_2", "gt_classifier", "Dense_2")
+        lin("gt_classifier.classifier", "gt_classifier", "Dense_3")
+
+    if params:
+        leftovers = sorted(jax_tree_to_numpy_paths(params))[:8]
+        raise ValueError(
+            "unexported params (scan_layers=True / fused_qkv=True trees "
+            f"are not exportable — retrain per-block): {leftovers}")
+
+    expected = set(expected_reference_keys(
+        n_layers, dims, vocab_size, with_rag=has_rag, with_heads=with_heads,
+        num_basis=sd[e + "af_embedding.basis_freqs"].shape[0]))
+    assert set(sd) == expected, (
+        sorted(expected - set(sd)), sorted(set(sd) - expected))
+    return sd
+
+
+def jax_tree_to_numpy(tree):
+    if isinstance(tree, dict):
+        return {k: jax_tree_to_numpy(v) for k, v in tree.items()}
+    return np.asarray(tree)
+
+
+def jax_tree_to_numpy_paths(tree, prefix=""):
+    if isinstance(tree, dict):
+        out = []
+        for k, v in tree.items():
+            out += jax_tree_to_numpy_paths(v, prefix + k + ".")
+        return out
+    return [prefix.rstrip(".")]
+
+
+def load_params_checkpoint(path: str) -> dict:
+    """Restore the params tree from either a trainer checkpoint
+    ({params, opt_state, step, epoch, level}) or a converted/params-only
+    checkpoint ({params: ...}); plain numpy out."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path))
+    params = restored.get("params", restored)
+    return jax_tree_to_numpy(params)
 
 
 def load_convert_meta(model_path: str) -> dict[str, Any] | None:

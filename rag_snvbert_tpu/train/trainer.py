@@ -542,6 +542,34 @@ class Trainer:
         self.level = min(self.start_epoch // self.cfg.curriculum_every,
                          self.cfg.max_level)
 
+    def init_params_from(self, path: str) -> None:
+        """Warm-start weights from a params-only checkpoint (a converted
+        reference checkpoint from `convert-ckpt`, or another run's
+        params) while keeping a fresh optimizer/epoch/curriculum —
+        fine-tuning, as opposed to `restore_checkpoint`'s exact resume.
+        The tree must match this trainer's model; any structure or shape
+        mismatch fails loudly rather than loading a silently-wrong
+        model."""
+        from ..interop import load_params_checkpoint
+
+        loaded = load_params_checkpoint(path)
+        cur = self.state.params
+        cur_paths = {jax.tree_util.keystr(p): v.shape for p, v in
+                     jax.tree_util.tree_flatten_with_path(cur)[0]}
+        new_paths = {jax.tree_util.keystr(p): v.shape for p, v in
+                     jax.tree_util.tree_flatten_with_path(loaded)[0]}
+        if cur_paths != new_paths:
+            missing = sorted(set(cur_paths) - set(new_paths))[:5]
+            extra = sorted(set(new_paths) - set(cur_paths))[:5]
+            shapes = sorted(k for k in cur_paths if k in new_paths
+                            and cur_paths[k] != new_paths[k])[:5]
+            raise ValueError(
+                f"checkpoint params do not match the model: "
+                f"missing={missing} extra={extra} shape_mismatch={shapes}")
+        params = jax.tree.map(lambda c, n: jnp.asarray(n, c.dtype),
+                              cur, loaded)
+        self.state = self.state.replace(params=params)
+
     # ---- logging ----
 
     def _log(self, record: dict) -> None:

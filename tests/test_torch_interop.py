@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from rag_snvbert_tpu.interop import (convert_state_dict,
-                                     expected_reference_keys)
+                                     expected_reference_keys,
+                                     export_state_dict)
 from rag_snvbert_tpu.models import (BERTFoundationModel,
                                     BERTWithEmbeddingRAG)
 from rag_snvbert_tpu.models.heads import init_batch
@@ -30,10 +31,10 @@ REF = "/root/reference"
 DIMS, LAYERS, HEADS, VOCAB, L, B = 64, 2, 2, 40, 16, 3
 
 
-def fake_state_dict(seed=0, **kw):
+def fake_state_dict(seed=0, layers=LAYERS, dims=DIMS, vocab=VOCAB, **kw):
     rng = np.random.default_rng(seed)
     sd = {}
-    for k, shape in expected_reference_keys(LAYERS, DIMS, VOCAB, **kw).items():
+    for k, shape in expected_reference_keys(layers, dims, vocab, **kw).items():
         if k.endswith("num_batches_tracked"):
             sd[k] = np.asarray(0)
         elif k.endswith("running_var"):
@@ -268,3 +269,162 @@ def test_whole_module_pickle_roundtrip(tmp_path):
     ref = model.init(jax.random.key(0), init_batch(2, L, DIMS),
                      deterministic=True)["params"]
     assert tree_paths(ref) == tree_paths(params)
+
+
+# ---------------------------------------------------------------------------
+# reverse direction: export back to a reference state_dict
+# ---------------------------------------------------------------------------
+
+def test_export_roundtrip_exact():
+    """convert -> export reproduces every source tensor bit-exactly
+    (transposes are lossless); pe is regenerated, counters reset."""
+    params, _ = convert_state_dict(fake_state_dict(seed=3))
+    out = export_state_dict(params)
+    orig = fake_state_dict(seed=3)
+    assert set(out) == set(orig)
+    for k, v in orig.items():
+        if k.endswith("num_batches_tracked") or k.endswith("position.pe"):
+            continue
+        np.testing.assert_array_equal(out[k], v, err_msg=k)
+
+
+def test_export_groupnorm_needs_optin():
+    """Natively trained models (GroupNorm position stats) refuse a
+    silent lossy export; the approx flag emits identity-stats BN with
+    the full reference key set."""
+    model = build_native_model()
+    params = model.init(jax.random.key(0), init_batch(2, L, DIMS),
+                        deterministic=True)["params"]
+    with pytest.raises(ValueError, match="frozen_batch"):
+        export_state_dict(params)
+    sd = export_state_dict(params, approx_pos_norm=True)
+    assert set(sd) == set(expected_reference_keys(LAYERS, DIMS, VOCAB))
+    np.testing.assert_array_equal(
+        sd["bert.emb_fusion.pos_feat.norm1.running_var"], np.ones(4))
+
+
+def build_native_model():
+    bert = BERTWithEmbeddingRAG(vocab_size=VOCAB, dims=DIMS,
+                                n_layers=LAYERS, attn_heads=HEADS)
+    return BERTFoundationModel(bert=bert)
+
+
+def test_export_rejects_scan_layers_tree():
+    from rag_snvbert_tpu.models import BERTWithEmbeddingRAG as M
+    model = BERTFoundationModel(bert=M(vocab_size=VOCAB, dims=DIMS,
+                                       n_layers=LAYERS, attn_heads=HEADS,
+                                       scan_layers=True))
+    params = model.init(jax.random.key(0), init_batch(2, L, DIMS),
+                        deterministic=True)["params"]
+    with pytest.raises((ValueError, KeyError)):
+        export_state_dict(params, approx_pos_norm=True)
+
+
+@requires_reference
+@pytest.mark.slow
+def test_export_loads_into_reference_model():
+    """Full round trip: reference model A -> convert -> export -> strict
+    load_state_dict into reference model B; every tensor (including the
+    regenerated sinusoidal pe buffer) and every output matches."""
+    torch = pytest.importorskip("torch")
+    TorchRAGBERT, TorchFoundation = _load_reference_modules()
+
+    torch.manual_seed(5)
+    tm = TorchFoundation(TorchRAGBERT(vocab_size=VOCAB, dims=DIMS,
+                                      n_layers=LAYERS, attn_heads=HEADS))
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+    tm.eval()
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params, _ = convert_state_dict(sd)
+    out_sd = export_state_dict(params)
+
+    tm2 = TorchFoundation(TorchRAGBERT(vocab_size=VOCAB, dims=DIMS,
+                                       n_layers=LAYERS, attn_heads=HEADS))
+    tm2.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                         for k, v in out_sd.items()}, strict=True)
+    tm2.eval()
+    for k, v in tm.state_dict().items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_allclose(out_sd[k], v.numpy(), atol=1e-6,
+                                   err_msg=k)
+
+    x_np = sample_inputs(seed=9)
+    xt = {k: torch.from_numpy(v.astype(np.int64 if v.dtype == np.int32
+                                       else np.float32))
+          for k, v in x_np.items()}
+    with torch.no_grad():
+        a, b = tm(xt)[:3], tm2(xt)[:3]
+    for ta, tb in zip(a, b):
+        np.testing.assert_allclose(tb.numpy(), ta.numpy(), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# fine-tune a converted checkpoint on TPU (train --init-from)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_cli_finetune_from_converted(tmp_path, capsys):
+    """train --init-from <converted>: architecture auto-configured from
+    convert_meta.json, weights warm-started, optimizer fresh — the
+    'bring your trained reference model, keep training on TPU' path.
+    Synthesized state_dict, so it runs without torch module pickles."""
+    import json
+
+    from rag_snvbert_tpu.cli.main import main
+    from rag_snvbert_tpu.interop import save_converted
+    from rag_snvbert_tpu.io.synthetic import make_bundle
+    from rag_snvbert_tpu.io.vcf import write_simple_vcf
+    from rag_snvbert_tpu.io.vocab import Vocab
+
+    b = make_bundle(n_train_samples=8, n_ref_samples=10, n_sites=80,
+                    n_windows=2)
+    vocab = Vocab.from_panel_pops(b.panel.pop_list)
+    sd = fake_state_dict(seed=11, layers=1, dims=32, vocab=vocab.size)
+    params, meta = convert_state_dict(sd)
+    meta["attn_heads"] = 4
+    conv = str(tmp_path / "converted")
+    save_converted(params, meta, conv)
+
+    ref_vcf = str(tmp_path / "ref.vcf")
+    tr_vcf = str(tmp_path / "train.vcf")
+    panel_p = str(tmp_path / "train.panel")
+    write_simple_vcf(ref_vcf, b.ref)
+    write_simple_vcf(tr_vcf, b.train)
+    with open(panel_p, "w") as f:
+        f.write("sample\tpop\n")
+        for s, pop in zip(b.panel.samples, b.panel.pop_list):
+            f.write(f"{s}\t{pop}\n")
+    prep = str(tmp_path / "prep")
+    main(["prepare-data", "--vcf", tr_vcf, "--panel", panel_p,
+          "--out", prep, "--window-len", "40",
+          "--split-test-fraction", "0.25"])
+    capsys.readouterr()
+
+    run_dir = str(tmp_path / "run")
+    main(["train", "--train_dataset", tr_vcf, "--train_panel", panel_p,
+          "--refpanel_path", ref_vcf,
+          "--freq_path", os.path.join(prep, "freq"),
+          "--window_path", os.path.join(prep, "windows.csv"),
+          "--output_path", run_dir, "--epochs", "1",
+          "--train_batch_size", "4", "--val_batch_size", "4",
+          "--warmup_steps", "5", "--grad_accum_steps", "1",
+          "--seq-len", "64", "--init-from", conv,
+          "--train-samples", os.path.join(prep, "train_samples.npy"),
+          "--val-samples", os.path.join(prep, "test_samples.npy")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "best" in out
+    assert os.path.isdir(os.path.join(run_dir, "ckpt_ep0"))
+
+    # the fine-tuned epoch-0 checkpoint exports back to a reference
+    # state_dict (frozen BN stats survived the round trip)
+    from rag_snvbert_tpu.interop import (export_state_dict,
+                                         load_params_checkpoint)
+    ft = load_params_checkpoint(os.path.join(run_dir, "ckpt_ep0"))
+    sd2 = export_state_dict(ft)
+    assert set(sd2) == set(sd)
