@@ -351,11 +351,13 @@ def cmd_train(args):
                            method=model.embed, rngs=rngs)
 
     mesh = None
-    if args.data_parallel > 1 or args.index_shards > 1:
+    if (args.data_parallel > 1 or args.index_shards > 1
+            or args.tensor_parallel > 1):
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(n_data=args.data_parallel,
-                         n_index=args.index_shards)
+                         n_index=args.index_shards,
+                         n_model=args.tensor_parallel)
 
     cfg = _resolve_trainer_config(args, base)
     trainer = Trainer(model, embed_fn, train_ds, cfg, val_ds=val_ds,
@@ -727,6 +729,10 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--index-shards", dest="index_shards", type=int,
                     default=1, help="devices on the mesh index axis "
                     "(shards the retrieval context)")
+    pt.add_argument("--tensor-parallel", dest="tensor_parallel", type=int,
+                    default=1, help="devices on the mesh model axis "
+                    "(Megatron-style encoder TP via GSPMD shardings; for "
+                    "models larger than one chip — the presets fit one)")
     pt.add_argument("--shard-ctx", dest="shard_ctx",
                     choices=["auto", "on", "off"], default="auto")
     pt.add_argument("--ctx-merge", dest="ctx_merge",

@@ -61,6 +61,10 @@ def make_bundle(n_train_samples: int = 24, n_ref_samples: int = 40,
                 n_sites: int = 300, n_windows: int = 3, n_pops: int = 3,
                 seed: int = 0) -> SyntheticBundle:
     rng = np.random.default_rng(seed)
+    # The panel (and its pop->class map) is derived from the train cohort,
+    # so a pop with no train sample cannot exist in the bundle — cap
+    # n_pops for degenerate tiny cohorts (e.g. 2-sample dry runs).
+    n_pops = min(n_pops, n_train_samples)
     pops = [f"POP{i}" for i in range(n_pops)]
     founders = _founders(rng, n_pops, n_sites)
 

@@ -248,7 +248,7 @@ class Trainer:
             # Stacked [K, B, ...] scan chunks: the leading axis is scan
             # steps, NOT batch — shard axis 1 over data, replicate axis 0.
             self._scan_sh = NamedSharding(self.mesh, P(None, "data"))
-            self.state = jax.device_put(self.state, self._repl)
+            self._put_state()
         leaf = jax.tree.leaves(self.state.params)[0]
         platform = getattr(getattr(leaf, "device", None), "platform", None)
         if platform is None and self.mesh is not None:
@@ -519,6 +519,21 @@ class Trainer:
         if self._ckptr is not None:
             self._ckptr.wait_until_finished()
 
+    def _put_state(self) -> None:
+        """Place the TrainState on the mesh: replicated by default;
+        with a model axis > 1, Megatron-style TP shardings on the
+        params and their adam-moment mirrors (parallel/tp.py — GSPMD
+        inserts the per-block all-reduces).  Re-run after any state
+        swap (checkpoint restore, warm start)."""
+        if self.mesh is None:
+            return
+        if self.mesh.shape.get("model", 1) > 1:
+            from ..parallel.tp import shard_tree
+
+            self.state = shard_tree(self.state, self.mesh)
+        else:
+            self.state = jax.device_put(self.state, self._repl)
+
     def restore_checkpoint(self, path: str) -> None:
         """Resume weights + optimizer + curriculum
         (train_embedding_rag.py:154-192, 325-336)."""
@@ -534,6 +549,7 @@ class Trainer:
         self.state = self.state.replace(params=restored["params"],
                                         opt_state=restored["opt_state"],
                                         step=int(restored["step"]))
+        self._put_state()
         self.start_epoch = int(restored["epoch"]) + 1
         # Re-derive the curriculum level from the resume epoch (the saved
         # level predates the end-of-epoch bump), matching the reference's
@@ -569,6 +585,7 @@ class Trainer:
         params = jax.tree.map(lambda c, n: jnp.asarray(n, c.dtype),
                               cur, loaded)
         self.state = self.state.replace(params=params)
+        self._put_state()
 
     # ---- logging ----
 
