@@ -336,8 +336,11 @@ def cmd_train(args):
                                                 False),
             # converted params are per-block and unfused
             scan_layers=False, fused_qkv=False)
-        model = dataclasses.replace(base, model=mc).build_model(
-            vocab_size=vocab.size)
+        # the trainer's retrieval mode must follow the checkpoint's
+        # architecture, not the preset's (_resolve_trainer_config reads
+        # base.model.rag_mode)
+        base = dataclasses.replace(base, model=mc)
+        model = base.build_model(vocab_size=vocab.size)
     elif preset is not None:
         model = preset.build_model(vocab_size=vocab.size)
     else:

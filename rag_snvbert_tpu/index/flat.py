@@ -81,6 +81,19 @@ class FlatL2Index:
     def build(cls, vectors, dtype=jnp.float32,
               align: bool = False) -> "FlatL2Index":
         v = jnp.asarray(vectors, dtype=dtype)
+        if (jnp.issubdtype(v.dtype, jnp.integer)
+                and not isinstance(v, jax.core.Tracer)):
+            # The fused kernel pre-doubles queries in the storage dtype
+            # (ops/l2_topk_pallas.py), so values must satisfy |v| <= 63
+            # (int8) / |v| <= 3 (int4); queries share the vectors' value
+            # domain (genotypes/token ids).  One device reduction +
+            # scalar fetch, once per build.
+            bound = 3 if v.dtype == jnp.int4 else 63
+            mx = int(jnp.max(jnp.abs(v.astype(jnp.int32))))
+            if mx > bound:
+                raise ValueError(
+                    f"max |value| {mx} > {bound}: doubling would wrap in "
+                    f"{v.dtype} — store as float or a wider int")
         if not align:
             return cls(vectors=v, norms=l2_ref.squared_norms(v))
         n, d = v.shape

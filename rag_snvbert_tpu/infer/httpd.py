@@ -22,6 +22,7 @@ so health checks never starve behind a long imputation.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -67,24 +68,20 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(400, {"ok": False,
                               "error": f"bad request: {type(e).__name__}: {e}"})
             return
-        if getattr(self.service, "concurrent", False):
-            # BatchingImputationService: requests run concurrently — host
-            # work on this thread, device work via its scheduler (which
-            # merges same-pattern requests into one device stream).
+        # BatchingImputationService (``concurrent``): requests run
+        # concurrently — host work on this thread, device work via its
+        # scheduler (which merges same-pattern requests into one device
+        # stream).  Plain services serialize the whole handle under the
+        # lock.
+        concurrent = getattr(self.service, "concurrent", False)
+        guard = contextlib.nullcontext() if concurrent else self.lock
+        with guard:
             try:
                 resp = self.service.handle(req)
-            except Exception as e:
+            except Exception as e:  # keep serving; error goes in-band
                 resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-            with self.lock:
-                self.counter[0] += 1
-        else:
-            with self.lock:
-                try:
-                    resp = self.service.handle(req)
-                except Exception as e:  # keep serving; error goes in-band
-                    resp = {"ok": False,
-                            "error": f"{type(e).__name__}: {e}"}
-                self.counter[0] += 1
+        with self.lock:
+            self.counter[0] += 1
         self._reply(200 if resp.get("ok") else 422, resp)
 
 

@@ -188,8 +188,12 @@ class BatchingImputationService(ImputationService):
                 return group
             deadline = time.monotonic() + self.max_wait_ms / 1000.0
             while len(group) < self.max_merge:
+                # key match is a hash: confirm real position equality so
+                # a (however unlikely) collision can never merge targets
+                # with different site patterns
                 i = next((j for j, it in enumerate(self._queue)
-                          if it.key == head.key), None)
+                          if it.key == head.key and np.array_equal(
+                              it.target.pos, head.target.pos)), None)
                 if i is not None:
                     del_item = self._queue[i]
                     del self._queue[i]

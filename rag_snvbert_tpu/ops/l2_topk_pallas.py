@@ -19,7 +19,8 @@ Merge design (round 2, replacing the k-pass extraction that capped the
 kernel at ~12% MXU):
   - distances are packed into *sortable int32 keys*: the f32 distance bits
     (monotonic under int32 comparison for non-negative floats) with the low
-    10 mantissa bits replaced by the lane id.  Keys are unique per row, so a
+    _ID_BITS (11) mantissa bits replaced by the lane id.  Keys are unique per
+    row, so a
     single ``where(keys == min)`` knockout is exact, and the min itself
     encodes both the (quantized) distance and the within-tile id;
   - the running top-k buffer stores keys with the id bits cleared (pure
@@ -31,14 +32,14 @@ kernel at ~12% MXU):
     buffer.  After warm-up the expected number of new top-k candidates per
     tile is ~k/j (j = tile index), so the loop runs 0-2 iterations instead
     of k fixed extraction passes over every distance;
-  - ordering is by distance *quantized to 1024 ULP* (relative error
-    <= 2^-13 ~ 1.2e-4), ties broken by ascending reference id (lane bits
-    within a tile, first-tile-wins across tiles).  For integer-valued
-    vectors (genotype / token indexes, distances < 16384) the quantization
-    is lossless and the result is bit-exact; for float embeddings the
-    2^-13 reordering window is below the norm-expansion's own cancellation
-    noise (the same expansion FAISS uses).  Returned distances are the
-    quantized values.
+  - ordering is by distance *quantized to 2048 ULP* (relative error
+    <= 2^-12 ~ 2.4e-4), ties broken by ascending reference id (lane bits
+    within a tile, first-tile-wins across tiles).  For integer-dtype
+    vectors distances are exact int32 (lossless below the 2^20 cap); for
+    integer-valued floats the quantization is lossless below 8192; for
+    float embeddings the 2^-12 reordering window is below the
+    norm-expansion's own cancellation noise (the same expansion FAISS
+    uses).  Returned distances are the quantized values.
 
 Padding contract (handled by the wrapper):
   - queries padded to a multiple of the query tile with zeros;
@@ -65,14 +66,14 @@ _ID_BITS = 11    # low mantissa bits of each key carry the within-tile lane
 # the wider id field: the f32 distance quantum is 2048 ULP (relative
 # error <= 2^-12, still under norm-expansion noise) and integer
 # distances stay lossless below the 2^20 cap.
-_ID_MASK = (1 << _ID_BITS) - 1          # 0x3FF
+_ID_MASK = (1 << _ID_BITS) - 1          # 0x7FF
 _KEY_MASK = ~_ID_MASK                   # clears the id bits -> quantized dist
 _MAX_KEY = 2**31 - 1  # plain int: a jnp scalar would be a captured constant
 _INF_KEY = 0x7F800000 & _KEY_MASK       # +inf distance, id bits cleared
 # Integer path: distances clamp at this cap so (dist << ID_BITS) never
 # overflows; the cap doubles as the padding sentinel (a capped key equals
 # the buffer-init key, so capped rows are never retrieved).
-_INT_DIST_CAP = _MAX_KEY >> _ID_BITS    # 0x1FFFFF
+_INT_DIST_CAP = _MAX_KEY >> _ID_BITS    # 0xFFFFF
 _INT_INF_KEY = _INT_DIST_CAP << _ID_BITS
 
 
@@ -201,7 +202,8 @@ def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
         else:
             # Conservative by one quantum: dist_bits&KEY_MASK < tau (int)
             # ⇒ dist_bits < tau + 2^B ⇒ dist < f32(tau + 2^B).  Spurious
-            # fires (dist in [tau, tau+512ulp)) just run an empty merge.
+            # fires (dist within one 2^_ID_BITS-ulp quantum past tau)
+            # just run an empty merge.
             # Dropping dist's max(…, 0) clamp only widens the gate.  The
             # min against the +inf bits keeps the untouched-buffer case
             # (tau = _INF_KEY) at exactly +inf instead of a NaN pattern.
@@ -389,8 +391,8 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
         or "auto" (rfirst when eligible and the [B, K] state fits VMEM).
 
     Returns:
-      (dists ``[B, k]`` f32 squared distances quantized to 1024 ULP
-      (bit-exact for integer-valued vectors), ids ``[B, k]`` int32), sorted
+      (dists ``[B, k]`` f32 squared distances quantized to 2048 ULP
+      (bit-exact for integer-dtype vectors), ids ``[B, k]`` int32), sorted
       ascending, ties broken by ascending id.
     """
     assert 1 <= k <= _K_LANES, f"k={k} out of range (max {_K_LANES})"
@@ -430,7 +432,9 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
         # Wider d tiles amortize the per-tile merge check (measured on v5e
         # at N=664k, d=2040: td 512 -> 2048 is 23.9k -> 28.4k QPS); f32
         # tiles are twice the bytes, so cap them lower for VMEM.
-        td = 2048 if refs.dtype.itemsize <= 2 else 1024
+        # default_td is the single source of this rule: ref_alignment()
+        # relies on it so build(align=True) pads to the tile picked here.
+        td = default_td(d, refs.dtype)
     sub = 32 if integer else 8  # int8 sublane tiling minimum is 32
     tq = min(max(tq, sub), _round_up(max(b, sub), sub))
     tn = min(tn, _round_up(max(n, 128), 128))

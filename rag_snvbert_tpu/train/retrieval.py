@@ -64,6 +64,10 @@ class TokenWindowContext:
     ref_tokens_masked: jax.Array   # [N, L] int32 (search side)
     ref_tokens: jax.Array          # [N, L] complete tokens (result side)
     ref_norms: jax.Array           # [N] f32 norms of masked vectors
+    # Static: the kernel's norm-fused int8 path pre-doubles queries, so
+    # ids must satisfy |id| <= 63; vocab = 7 specials + alleles + pops,
+    # so this only trips at >= 54 populations (cap checked at build).
+    ids_fit_int8: bool = struct.field(pytree_node=False, default=True)
 
 
 def build_token_window_ctx(ref_tokens: jax.Array, window_mask: jax.Array,
@@ -76,8 +80,14 @@ def build_token_window_ctx(ref_tokens: jax.Array, window_mask: jax.Array,
     norms = l2_ref.squared_norms(masked.astype(jnp.float32))
     if valid is not None:
         norms = jnp.where(valid, norms, jnp.inf)
+    # Concrete at every call site (per-window host-driven build): one
+    # cheap fetch decides whether the int8 kernel path is value-safe.
+    fits = True
+    if not isinstance(ref_tokens, jax.core.Tracer):
+        fits = int(jnp.max(ref_tokens)) <= 63
     return TokenWindowContext(ref_tokens_masked=masked,
-                              ref_tokens=ref_tokens, ref_norms=norms)
+                              ref_tokens=ref_tokens, ref_norms=norms,
+                              ids_fit_int8=fits)
 
 
 def retrieve_tokens(batch: dict, ctx: TokenWindowContext, k: int = 1,
@@ -92,6 +102,9 @@ def retrieve_tokens(batch: dict, ctx: TokenWindowContext, k: int = 1,
     if use_pallas is None:
         n = ctx.ref_tokens_masked.shape[0]
         use_pallas = (jax.default_backend() == "tpu" and n > 16384)
+    # int8 value safety: the kernel pre-doubles queries, so ids > 63
+    # would wrap — fall back to the exact f32 path (>= 54 populations).
+    use_pallas = use_pallas and ctx.ids_fit_int8
     # One stacked [2B, L] search for both haplotypes (half the dispatches).
     q = jnp.concatenate([batch["hap_1"], batch["hap_2"]], axis=0)
     if use_pallas:

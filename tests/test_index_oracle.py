@@ -5,6 +5,8 @@ flat search is exact, so recall@k must be 1.0 up to distance ties.
 """
 
 import numpy as np
+import pytest
+
 import jax.numpy as jnp
 
 from rag_snvbert_tpu.index import FlatL2Index, HammingIndex
@@ -155,3 +157,42 @@ def test_aligned_build_matches_unaligned(rng, tmp_path):
     v3, i3 = back.search(q, 5)
     np.testing.assert_array_equal(np.asarray(aligned.search(q, 5)[1]),
                                   np.asarray(i3))
+
+
+def test_int8_build_rejects_values_that_double_wrap(rng):
+    """The fused kernel pre-doubles queries in the storage dtype, so
+    int8 storage only admits |v| <= 63 (int4: |v| <= 3); build() checks
+    once at index-build time."""
+    ok = rng.integers(0, 2, (64, 40)).astype(np.int8)
+    FlatL2Index.build(ok, dtype=jnp.int8)  # genotypes: fine
+    bad = ok.copy()
+    bad[3, 7] = 64
+    with pytest.raises(ValueError, match="wrap"):
+        FlatL2Index.build(bad, dtype=jnp.int8)
+    with pytest.raises(ValueError, match="wrap"):
+        FlatL2Index.build(np.full((8, 16), 4, np.int8), dtype=jnp.int4)
+
+
+def test_token_ctx_large_ids_fall_back_to_f32():
+    """Token ids > 63 would wrap under the kernel's int8 pre-doubling:
+    the ctx records it and retrieve_tokens routes to the exact f32
+    path."""
+    from rag_snvbert_tpu.train.retrieval import (build_token_window_ctx,
+                                                 retrieve_tokens)
+
+    rng = np.random.default_rng(0)
+    small = jnp.asarray(rng.integers(1, 60, (32, 24)).astype(np.int32))
+    big = jnp.asarray(rng.integers(1, 200, (32, 24)).astype(np.int32))
+    wmask = jnp.zeros((24,), bool)  # nothing masked: index == raw tokens
+    assert build_token_window_ctx(small, wmask).ids_fit_int8
+    ctx = build_token_window_ctx(big, wmask)
+    assert not ctx.ids_fit_int8
+    batch = {"hap_1": big[:4], "hap_2": big[4:8]}
+    out = retrieve_tokens(batch, ctx, k=2)  # must not take the int8 path
+    assert out["rag_seg_h1"].shape == (4, 2, 24)
+    # exact-oracle check: with an unmasked index, the nearest neighbor
+    # of a reference vector is itself
+    self_batch = {"hap_1": big[:4], "hap_2": big[:4]}
+    out2 = retrieve_tokens(self_batch, ctx, k=1)
+    np.testing.assert_array_equal(np.asarray(out2["rag_seg_h1"][:, 0]),
+                                  np.asarray(big[:4]))

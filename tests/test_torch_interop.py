@@ -428,3 +428,53 @@ def test_cli_finetune_from_converted(tmp_path, capsys):
     ft = load_params_checkpoint(os.path.join(run_dir, "ckpt_ep0"))
     sd2 = export_state_dict(ft)
     assert set(sd2) == set(sd)
+
+
+@pytest.mark.slow
+def test_cli_finetune_from_converted_token_mode(tmp_path, capsys):
+    """Regression: train --init-from a V17 token-mode checkpoint must run
+    the trainer in token-retrieval mode (the TrainerConfig.rag_mode comes
+    from convert_meta.json, not the preset — a mismatch trace-fails on
+    missing rag_seg_* batch keys)."""
+    import json
+
+    from rag_snvbert_tpu.cli.main import main
+    from rag_snvbert_tpu.interop import save_converted
+    from rag_snvbert_tpu.io.synthetic import make_bundle
+    from rag_snvbert_tpu.io.vcf import write_simple_vcf
+    from rag_snvbert_tpu.io.vocab import Vocab
+
+    b = make_bundle(n_train_samples=8, n_ref_samples=10, n_sites=80,
+                    n_windows=2)
+    vocab = Vocab.from_panel_pops(b.panel.pop_list)
+    sd = fake_state_dict(seed=13, layers=1, dims=32, vocab=vocab.size)
+    params, meta = convert_state_dict(sd, rag_mode="token")
+    meta["attn_heads"] = 4
+    conv = str(tmp_path / "converted")
+    save_converted(params, meta, conv)
+
+    ref_vcf = str(tmp_path / "ref.vcf")
+    tr_vcf = str(tmp_path / "train.vcf")
+    panel_p = str(tmp_path / "train.panel")
+    write_simple_vcf(ref_vcf, b.ref)
+    write_simple_vcf(tr_vcf, b.train)
+    with open(panel_p, "w") as f:
+        f.write("sample\tpop\n")
+        for s, pop in zip(b.panel.samples, b.panel.pop_list):
+            f.write(f"{s}\t{pop}\n")
+    prep = str(tmp_path / "prep")
+    main(["prepare-data", "--vcf", tr_vcf, "--panel", panel_p,
+          "--out", prep, "--window-len", "40"])
+    capsys.readouterr()
+
+    run_dir = str(tmp_path / "run")
+    main(["train", "--train_dataset", tr_vcf, "--train_panel", panel_p,
+          "--refpanel_path", ref_vcf,
+          "--freq_path", os.path.join(prep, "freq"),
+          "--window_path", os.path.join(prep, "windows.csv"),
+          "--output_path", run_dir, "--epochs", "1",
+          "--train_batch_size", "4", "--val_batch_size", "4",
+          "--warmup_steps", "5", "--grad_accum_steps", "1",
+          "--seq-len", "64", "--init-from", conv])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "best" in out

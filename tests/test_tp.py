@@ -105,6 +105,60 @@ def test_tp_forward_matches_replicated():
 
 
 @pytest.mark.slow
+def test_tp_restore_resumes_sharded(tmp_path):
+    """A replicated (single-device) checkpoint restores into a TP
+    trainer: params land model-axis sharded, the resumed epoch trains,
+    and the continuation matches a single-device resume."""
+    from jax.sharding import NamedSharding
+    from rag_snvbert_tpu.data.pipeline import WindowDataset
+    from rag_snvbert_tpu.io.synthetic import make_bundle
+    from rag_snvbert_tpu.train.trainer import Trainer, TrainerConfig
+
+    devs = jax.devices("cpu")
+    if len(devs) < 4:
+        pytest.skip("need 4 cpu devices")
+
+    def build(mesh, out_dir, epochs):
+        b = make_bundle(n_train_samples=8, n_ref_samples=10, n_sites=64,
+                        n_windows=1, seed=7)
+        ds = WindowDataset(b.train, b.panel, b.freq, b.window.window_info,
+                           b.vocab, ref_vcf=b.ref, seq_len=72)
+        bert = BERTWithEmbeddingRAG(vocab_size=b.vocab.size, dims=32,
+                                    n_layers=1, attn_heads=4)
+        model = BERTFoundationModel(bert=bert)
+
+        def embed_fn(p, toks, af, deterministic, rngs=None):
+            return model.apply({"params": p}, toks, af, deterministic,
+                               method=model.embed, rngs=rngs)
+
+        cfg = TrainerConfig(epochs=epochs, batch_size=8, val_batch_size=8,
+                            warmup_steps=10, output_dir=str(out_dir),
+                            log_freq=1000, async_checkpoints=False)
+        return Trainer(model, embed_fn, ds, cfg, mesh=mesh)
+
+    t0 = build(None, tmp_path / "a", epochs=1)
+    t0.fit()
+    ckpt = str(tmp_path / "a" / "ckpt_ep0")
+
+    mesh = make_mesh(n_data=1, n_index=1, n_model=4, devices=devs[:4])
+    t_tp = build(mesh, tmp_path / "tp", epochs=2)
+    t_tp.restore_checkpoint(ckpt)
+    assert t_tp.start_epoch == 1
+    qk = t_tp.state.params["bert"]["encoder"]["block_0"]["attention"][
+        "query"]["kernel"]
+    assert isinstance(qk.sharding, NamedSharding)
+    assert qk.sharding.spec == P(None, "model")
+
+    t_single = build(None, tmp_path / "s", epochs=2)
+    t_single.restore_checkpoint(ckpt)
+    r_tp = t_tp.fit()
+    r_single = t_single.fit()
+    lt = r_tp["history"][-1]["train_loss"]
+    ls = r_single["history"][-1]["train_loss"]
+    assert abs(lt - ls) / max(abs(ls), 1.0) < 1e-3
+
+
+@pytest.mark.slow
 def test_tp_dp_trainer_matches_single_device(tmp_path):
     """Full Trainer on a dp2 x tp4 mesh == single-device training."""
     from rag_snvbert_tpu.data.pipeline import WindowDataset
