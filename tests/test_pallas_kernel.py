@@ -217,3 +217,44 @@ def test_kernel_interpret_rfirst_matches_qfirst():
     ov, oi = _oracle(q.astype(np.float32), r[:650].astype(np.float32), 7)
     assert (np.asarray(out["rfirst"][0]) == ov).all()
     assert (np.asarray(out["rfirst"][1]) == oi).all()
+
+
+def test_kernel_interpret_fuzz_random_configs():
+    """Seeded fuzz over shapes x dtypes x grid orders x tile sizes in
+    interpret mode: tiling-boundary regressions (non-multiple b/n/d,
+    tiny k, rfirst eligibility) surface without hardware."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(42)
+    for case in range(10):
+        b = int(rng.integers(1, 24))
+        n = int(rng.integers(130, 700))
+        d = int(rng.integers(16, 300))
+        k = int(rng.integers(1, 12))
+        integer = bool(rng.integers(0, 2))
+        order = ["qfirst", "rfirst", "auto"][int(rng.integers(0, 3))]
+        tq = int(rng.choice([8, 16, 32]))
+        tn = int(rng.choice([128, 256]))
+        td = int(rng.choice([128, 256]))
+        if integer:
+            q = rng.integers(0, 4, (b, d)).astype(np.int8)
+            r = rng.integers(0, 4, (n, d)).astype(np.int8)
+            qf, rf = q.astype(np.float32), r.astype(np.float32)
+        else:
+            q = qf = rng.standard_normal((b, d)).astype(np.float32)
+            r = rf = rng.standard_normal((n, d)).astype(np.float32)
+        vals, ids = _run(q, r, k, tq=tq, tn=tn, td=td, order=order,
+                         interpret=True)
+        ov, oi = _oracle(qf, rf, k)
+        msg = f"case {case}: b={b} n={n} d={d} k={k} int={integer} " \
+              f"order={order} tq={tq} tn={tn} td={td}"
+        if integer:  # int32 distances: bit-exact
+            np.testing.assert_array_equal(np.asarray(ids), oi, err_msg=msg)
+            np.testing.assert_array_equal(np.asarray(vals), ov, err_msg=msg)
+        else:
+            np.testing.assert_allclose(np.asarray(vals), ov, rtol=1e-3,
+                                       atol=1e-2, err_msg=msg)
+            mism = np.asarray(ids) != oi
+            if mism.any():  # id swaps only inside the quantization window
+                assert np.allclose(np.asarray(vals)[mism], ov[mism],
+                                   rtol=1e-3, atol=1e-2), msg
