@@ -128,10 +128,16 @@ def cmd_build_index(args):
         if args.mode == "flat":
             import jax.numpy as jnp
 
-            dt = {"f32": jnp.float32, "bf16": jnp.bfloat16,
-                  "int8": jnp.int8}[args.dtype]
-            idx = FlatL2Index.build(flat.astype(np.float32), dtype=dt,
-                                    align=True)
+            if args.dtype == "packed":
+                # Planar bit-packed binary genotypes: 1/8 the HBM of int8,
+                # searched exact-L2 by the kernel's in-VMEM unpack path.
+                idx = FlatL2Index.build(flat.astype(np.int8), pack=8,
+                                        align=True)
+            else:
+                dt = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                      "int8": jnp.int8}[args.dtype]
+                idx = FlatL2Index.build(flat.astype(np.float32), dtype=dt,
+                                        align=True)
             idx.save(os.path.join(args.out, f"window_{w}.idx"))
     meta = {"windows": win.count, "n_samples": data.n_samples,
             "mode": args.mode, "build_seconds": round(time.time() - t0, 3)}
@@ -664,10 +670,12 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--windows", default=None)
     pb.add_argument("--window-len", type=int, default=1020)
     pb.add_argument("--mode", choices=["flat", "intersect"], default="flat")
-    pb.add_argument("--dtype", choices=["f32", "bf16", "int8"],
+    pb.add_argument("--dtype", choices=["f32", "bf16", "int8", "packed"],
                     default="f32",
                     help="index storage dtype; int8 is exact for binary "
-                         "genotypes and runs the MXU's double-rate path")
+                         "genotypes and runs the MXU's double-rate path; "
+                         "packed stores 8 genotypes/byte (1/8 the HBM, "
+                         "still exact L2 — the packbits DB equivalent)")
     pb.add_argument("--panel", default=None,
                     help="panel file: stores per-row population labels "
                          "(window_*_pop.npy) for query --verbose")

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..ops import l2_ref
-from ..ops.l2_topk_pallas import l2_topk_pallas, ref_alignment
+from ..ops.l2_topk_pallas import (default_tn, l2_topk_pallas, pack_planar,
+                                  planar_sq_norms, ref_alignment)
 
 
 def _on_tpu(x: jax.Array) -> bool:
@@ -68,6 +69,12 @@ class FlatL2Index:
     norms: jax.Array
     n_real: int | None = struct.field(pytree_node=False, default=None)
     d_real: int | None = struct.field(pytree_node=False, default=None)
+    # pack > 1: ``vectors`` is planar-packed int8 (ops/l2_topk_pallas.
+    # pack_planar) — pack values per byte, 1/pack the HBM residency and
+    # stream; searched by the kernel's in-VMEM unpack path.  d_real is
+    # always set.  pack=8 is the binary-genotype mode (the reference's
+    # packbits DB, test_faiss_intersect.py:164-183, kept exact-L2).
+    pack: int = struct.field(pytree_node=False, default=1)
 
     @property
     def ntotal(self) -> int:
@@ -79,7 +86,9 @@ class FlatL2Index:
 
     @classmethod
     def build(cls, vectors, dtype=jnp.float32,
-              align: bool = False) -> "FlatL2Index":
+              align: bool = False, pack: int = 1) -> "FlatL2Index":
+        if pack > 1:
+            return cls._build_packed(vectors, pack, align)
         v = jnp.asarray(vectors, dtype=dtype)
         if (jnp.issubdtype(v.dtype, jnp.integer)
                 and not isinstance(v, jax.core.Tracer)):
@@ -106,6 +115,33 @@ class FlatL2Index:
                    n_real=n if np_ != n else None,
                    d_real=d if dp != d else None)
 
+    @classmethod
+    def _build_packed(cls, vectors, pack: int, align: bool
+                      ) -> "FlatL2Index":
+        """Planar-packed storage: pack values per int8 byte (pack=8 for
+        binary genotypes, 4 for dosage 0..3, 2 for small ints <= 7)."""
+        v = jnp.asarray(vectors)
+        hi = 1 << (8 // pack)
+        if not isinstance(v, jax.core.Tracer):
+            lo_v = int(jnp.min(v.astype(jnp.int32)))
+            hi_v = int(jnp.max(v.astype(jnp.int32)))
+            if lo_v < 0 or hi_v >= hi:
+                raise ValueError(
+                    f"pack={pack} admits values in [0, {hi}); "
+                    f"data spans [{lo_v}, {hi_v}]")
+        n, d = v.shape
+        packed = pack_planar(v, pack)
+        norms = planar_sq_norms(packed, pack)
+        if not align:
+            return cls(vectors=packed, norms=norms, d_real=d, pack=pack)
+        n_mult = default_tn(jnp.int8)
+        np_ = -(-n // n_mult) * n_mult
+        packed = jnp.pad(packed, ((0, np_ - n), (0, 0)))
+        norms = jnp.where(jnp.arange(np_) < n,
+                          jnp.pad(norms, (0, np_ - n)), jnp.inf)
+        return cls(vectors=packed, norms=norms,
+                   n_real=n if np_ != n else None, d_real=d, pack=pack)
+
     # Above this distance-matrix size the streaming Pallas kernel (which
     # never materializes [B, N]) takes over from the XLA matmul + top_k
     # path.  Round-2 threshold-gated merge measured on v5e at N=664k,
@@ -129,6 +165,13 @@ class FlatL2Index:
         (lax.approx_max_k) — ~2.5x the exact throughput at set-recall
         ~0.95; the returned distances are exact for the returned ids.
         """
+        if self.pack > 1:
+            if approx:
+                raise ValueError("approx search needs unpacked storage")
+            q = jnp.asarray(queries)
+            return l2_topk_pallas(q, self.vectors, self.norms, k,
+                                  pack=self.pack,
+                                  interpret=not _on_tpu(self.vectors))
         q = jnp.asarray(queries, dtype=self.vectors.dtype)
         if q.shape[1] != self.vectors.shape[1]:  # aligned storage: pad the
             # (small) query block to the stored width; zero columns add 0
@@ -166,6 +209,21 @@ class FlatL2Index:
         ``(R*R) @ m``; the resident index is searched as-is (masked query
         dims contribute q_i = 0 and the corrected norms remove r_i^2 terms).
         """
+        if self.pack > 1:
+            # Masking in the packed domain: AND with the planar-packed
+            # mask zeroes masked values in place (1/pack the bytes of the
+            # unpacked masked-copy the float path would make); masked
+            # norms come from one fused unpack-reduce pass.
+            bits = 8 // self.pack
+            m = jnp.asarray(dim_mask).astype(jnp.int32)
+            pm = pack_planar((m * ((1 << bits) - 1))[None, :], self.pack)[0]
+            rm = self.vectors & pm[None, :]
+            masked_norms = planar_sq_norms(rm, self.pack)
+            masked_norms = jnp.where(jnp.isinf(self.norms), jnp.inf,
+                                     masked_norms)
+            qm = jnp.asarray(queries) * m[None, : queries.shape[1]]
+            return l2_topk_pallas(qm, rm, masked_norms, k, pack=self.pack,
+                                  interpret=not _on_tpu(self.vectors))
         m = dim_mask.astype(self.vectors.dtype)
         qm = jnp.asarray(queries, dtype=self.vectors.dtype) * m[None, :]
         if qm.shape[1] != self.vectors.shape[1]:  # aligned storage
@@ -198,7 +256,8 @@ class FlatL2Index:
         np.savez(path, vectors=np.asarray(v), norms=np.asarray(self.norms),
                  dtype=np.asarray(dtype_name),
                  n_real=np.asarray(-1 if self.n_real is None else self.n_real),
-                 d_real=np.asarray(-1 if self.d_real is None else self.d_real))
+                 d_real=np.asarray(-1 if self.d_real is None else self.d_real),
+                 pack=np.asarray(self.pack))
 
     @classmethod
     def load(cls, path: str, device=None) -> "FlatL2Index":
@@ -217,7 +276,8 @@ class FlatL2Index:
             return None if val < 0 else val
 
         return cls(vectors=v, norms=n, n_real=real("n_real"),
-                   d_real=real("d_real"))
+                   d_real=real("d_real"),
+                   pack=int(z["pack"]) if "pack" in z else 1)
 
 
 @struct.dataclass

@@ -113,6 +113,47 @@ def ref_alignment(d: int, dtype, tn: int | None = None) -> tuple[int, int]:
     return tn, _round_up(max(d, 128), default_td(d, dtype))
 
 
+def pack_planar(v, pack: int):
+    """Planar bit-packing for the kernel's ``pack > 1`` path.
+
+    ``v`` [N, d] with values in [0, 2^(8/pack)): returns int8 [N, D8]
+    where D8 = round_up(ceil-free d/pack plane width, 128) and byte
+    column j carries original columns {j + m*D8 : m < pack} at bit
+    offset m*(8/pack).  The layout makes each extracted bit-plane a
+    CONTIGUOUS block of original columns, so in-kernel unpacking needs
+    no lane shuffles and queries stay in natural column order (block m
+    of the query tile aligns with plane m).  Matches the semantics of
+    the reference's packbits binary DB (test_faiss_intersect.py:164-183)
+    while keeping search exact L2 on the MXU instead of Hamming on the
+    VPU.  pack=8: binary genotypes (1 bit).  pack=4: dosage 0..3.
+    pack=2: small ints 0..15 (<= 7 for query pre-doubling)."""
+    assert pack in (2, 4, 8)
+    v = jnp.asarray(v)
+    n, d = v.shape
+    bits = 8 // pack
+    d8 = _round_up(max(_cdiv(d, pack), 128), 128)
+    vp = jnp.pad(v.astype(jnp.int32), ((0, 0), (0, d8 * pack - d)))
+    planes = vp.reshape(n, pack, d8)
+    packed = planes[:, 0, :]
+    for m in range(1, pack):
+        packed = packed | (planes[:, m, :] << (m * bits))
+    return packed.astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("pack",))
+def planar_sq_norms(packed: jax.Array, pack: int) -> jax.Array:
+    """[N] f32 squared norms of planar-packed vectors (one fused pass
+    over the packed bytes — XLA keeps the plane extraction in registers)."""
+    bits = 8 // pack
+    mask = (1 << bits) - 1
+    p32 = packed.astype(jnp.int32)
+    acc = jnp.zeros((packed.shape[0],), jnp.int32)
+    for m in range(pack):
+        plane = (p32 >> (m * bits)) & mask
+        acc = acc + jnp.sum(plane * plane, axis=1)
+    return acc.astype(jnp.float32)
+
+
 def _when(cond):
     """pl.when that accepts a Python bool: statically-true branches are
     inlined (the 2D grid drops the kd axis, making its conditions static)."""
@@ -275,8 +316,8 @@ def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
 
 
 def _l2_topk_kernel_rf(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
-                       qn, top_keys, top_ids, *, k: int, tn: int, tq: int,
-                       in_dtype):
+                       qn, top_keys, top_ids, *unp_scratch, k: int, tn: int,
+                       tq: int, in_dtype, pack: int = 1):
     """Refs-outermost order (round 3): the grid is (ref tiles, query
     tiles), so each ref tile streams from HBM ONCE and is reused across
     every query tile — vs the (i, j) order's bp/tq re-streams of the
@@ -287,7 +328,17 @@ def _l2_topk_kernel_rf(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
     are written on the last ref tile, with earlier grid steps' flushes
     parked on block 0 via the index map (no per-j garbage flushes of
     every query block).  Single whole-d tile only (the genotype/token
-    path).  Epilogue logic mirrors _l2_topk_kernel exactly."""
+    path).  Epilogue logic mirrors _l2_topk_kernel exactly.
+
+    ``pack > 1``: refs arrive PLANAR-PACKED — int8 bytes whose bit-planes
+    are contiguous original-column blocks (byte column j holds original
+    columns {j + m*D8 : m < pack} at bit offset m*(8/pack); see
+    pack_planar).  The tile is unpacked ONCE per ref tile (i == 0) into a
+    VMEM scratch in the compute dtype and reused by every query tile, so
+    HBM streams 1/pack of the unpacked bytes while the MXU sees ordinary
+    dense operands.  This is also the int4-compute on-ramp: sub-byte
+    arrays cannot cross the jit boundary under this runtime (ROADMAP.md
+    dead ends) but an int8->int4 cast INSIDE the kernel is legal."""
     j = pl.program_id(0)
     i = pl.program_id(1)
     nn = pl.num_programs(0)
@@ -295,6 +346,20 @@ def _l2_topk_kernel_rf(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
     integer = jnp.issubdtype(jnp.dtype(in_dtype), jnp.integer)
     acc_t = jnp.int32 if integer else jnp.float32
     inf_key = _INT_INF_KEY if integer else _INF_KEY
+
+    if pack > 1:
+        unp = unp_scratch[0]
+        bits = 8 // pack
+        d8 = r_ref.shape[1]
+
+        @pl.when(i == 0)
+        def _():
+            # Sign-extension is harmless: plane bits sit below bit 8 and
+            # the mask clears everything above them.
+            r32 = r_ref[:].astype(jnp.int32)
+            for m in range(pack):
+                plane = (r32 >> (m * bits)) & ((1 << bits) - 1)
+                unp[:, m * d8:(m + 1) * d8] = plane.astype(unp.dtype)
 
     @pl.when(j == 0)
     def _():
@@ -307,8 +372,14 @@ def _l2_topk_kernel_rf(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
                  if in_dtype == jnp.float32 else None)
     # Norm-fused single-tile accumulation as a VALUE (no acc scratch):
     # a = 2<q,r> - |r|^2 (queries pre-doubled by the wrapper).
+    if pack > 1:
+        rmat = unp[:]
+        qmat = q_ref[:].astype(unp.dtype) if unp.dtype != q_ref.dtype \
+            else q_ref[:]
+    else:
+        rmat, qmat = r_ref[:], q_ref[:]
     a = jax.lax.dot_general(
-        q_ref[:], r_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        qmat, rmat, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=acc_t, precision=precision) - rn_ref[:]
 
     qn_i = qn[rows, :]
@@ -371,12 +442,15 @@ def _l2_topk_kernel_rf(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "tn", "td",
-                                             "order", "interpret"))
+                                             "order", "interpret", "pack",
+                                             "compute"))
 def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
                    k: int, tq: int = 256, tn: int | None = None,
                    td: int | None = None,
                    order: str = "auto",
-                   interpret: bool = False) -> tuple[jax.Array, jax.Array]:
+                   interpret: bool = False,
+                   pack: int = 1,
+                   compute=None) -> tuple[jax.Array, jax.Array]:
     """Exact k-NN by squared L2 with the fused Pallas kernel.
 
     Args:
@@ -389,6 +463,13 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
         bp/tq times), "rfirst" (ref tiles outermost; refs stream ONCE,
         top-k state in row-sliced scratch — single-d-tile shapes only),
         or "auto" (rfirst when eligible and the [B, K] state fits VMEM).
+      pack: > 1 means ``refs`` is planar-packed int8 (pack_planar): pack
+        values per byte, 1/pack the HBM stream, unpacked once per ref
+        tile into VMEM.  Queries stay unpacked [B, d].  Implies the
+        integer path and rfirst order.
+      compute: MXU operand dtype for the packed path (default int8;
+        jnp.int4 runs the double-again-rate 4-bit dot on TPU — values
+        incl. doubled queries must fit [-8, 7]).
 
     Returns:
       (dists ``[B, k]`` f32 squared distances quantized to 2048 ULP
@@ -400,7 +481,14 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
         tn = default_tn(refs.dtype)
     b, d = queries.shape
     n, d2 = refs.shape
-    assert d == d2 and r_norms.shape == (n,)
+    if pack == 1:
+        assert d == d2 and r_norms.shape == (n,)
+    else:
+        # Planar-packed refs (pack_planar): [N, D8] int8 bytes carrying
+        # ``pack`` bit-planes each; the unpacked width is D8*pack >= d.
+        assert refs.dtype == jnp.int8, "packed refs must be int8 bytes"
+        assert pack in (2, 4, 8) and r_norms.shape == (n,)
+        assert d <= d2 * pack, f"queries d={d} exceed unpacked {d2 * pack}"
     assert tn <= (1 << _ID_BITS), f"tn={tn} exceeds id-bit capacity"
 
     if interpret and refs.dtype == jnp.int4:
@@ -409,7 +497,7 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
         # values, so interpret-mode tests still cover the int4 wrapper
         # path while the real 4-bit MXU dot is exercised on TPU only.
         refs = refs.astype(jnp.int8)
-    integer = jnp.issubdtype(refs.dtype, jnp.integer)
+    integer = pack > 1 or jnp.issubdtype(refs.dtype, jnp.integer)
     if integer:
         # Integer path (genotype/token vectors): distances are exact int32
         # and the MXU runs int8 at double rate (int4 faster still: 296 vs
@@ -427,8 +515,20 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
     # directly (see _l2_topk_kernel).  Cast first (preserving the
     # storage-dtype rounding semantics), then double — exact for floats
     # (exponent bump) and for |q_i| <= 63 ints.
-    queries = queries.astype(refs.dtype) * 2
-    if td is None:
+    compute_dt = None
+    if pack > 1:
+        compute_dt = jnp.dtype(jnp.int8 if compute is None else compute)
+        if interpret and compute_dt == jnp.int4:
+            compute_dt = jnp.dtype(jnp.int8)  # interpreter: no sub-byte dots
+        queries = queries.astype(jnp.int8) * 2
+    else:
+        queries = queries.astype(refs.dtype) * 2
+    if pack > 1:
+        # Packed refs are a single byte tile; the unpacked width is one
+        # whole d tile (two_d), so the grid has no kd axis.
+        r_td = _round_up(max(d2, 128), 128)
+        td = r_td * pack
+    elif td is None:
         # Wider d tiles amortize the per-tile merge check (measured on v5e
         # at N=664k, d=2040: td 512 -> 2048 is 23.9k -> 28.4k QPS); f32
         # tiles are twice the bytes, so cap them lower for VMEM.
@@ -438,11 +538,15 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
     sub = 32 if integer else 8  # int8 sublane tiling minimum is 32
     tq = min(max(tq, sub), _round_up(max(b, sub), sub))
     tn = min(tn, _round_up(max(n, 128), 128))
-    td = min(td, _round_up(max(d, 128), 128))
-
-    bp, np_, dp = _round_up(b, tq), _round_up(n, tn), _round_up(d, td)
-    qp = jnp.pad(queries, ((0, bp - b), (0, dp - d)))
-    rp = jnp.pad(refs, ((0, np_ - n), (0, dp - d)))
+    if pack > 1:
+        bp, np_, dp = _round_up(b, tq), _round_up(n, tn), td
+        qp = jnp.pad(queries, ((0, bp - b), (0, dp - d)))
+        rp = jnp.pad(refs, ((0, np_ - n), (0, r_td - d2)))
+    else:
+        td = r_td = min(td, _round_up(max(d, 128), 128))
+        bp, np_, dp = _round_up(b, tq), _round_up(n, tn), _round_up(d, td)
+        qp = jnp.pad(queries, ((0, bp - b), (0, dp - d)))
+        rp = jnp.pad(refs, ((0, np_ - n), (0, dp - d)))
     # 2D [1, N] layout: 1D f32 operands trip XLA/Mosaic tiling mismatches.
     if integer:
         rn = jnp.where(jnp.isinf(r_norms), _INT_DIST_CAP,
@@ -454,7 +558,10 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
                       constant_values=jnp.inf)[None, :]
 
     two_d = dp == td
-    if order == "auto":
+    if pack > 1:
+        assert bp <= 4096, "packed path needs the rfirst [B,K] state in VMEM"
+        order = "rfirst"
+    elif order == "auto":
         # rfirst streams the (large) ref matrix once instead of bp/tq
         # times; its [bp, K] top-k state must fit VMEM comfortably.
         order = "rfirst" if two_d and bp <= 4096 else "qfirst"
@@ -470,14 +577,19 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
         # earlier grid step's buffer flush on block 0 so the (i-indexed)
         # output blocks are not garbage-flushed once per (j, i) step.
         omap = lambda j, i: (jnp.where(j == nn_tiles - 1, i, 0), 0)
-        kernel = functools.partial(_l2_topk_kernel_rf, k=k, tn=tn, tq=tq,
-                                   in_dtype=refs.dtype)
+        kernel = functools.partial(
+            _l2_topk_kernel_rf, k=k, tn=tn, tq=tq, pack=pack,
+            in_dtype=compute_dt if pack > 1 else refs.dtype)
         scratch = [
             pltpu.VMEM((bp, 1),                       # query norms (per i)
                        jnp.int32 if integer else jnp.float32),
             pltpu.VMEM((bp, _K_LANES), jnp.int32),    # running top-k keys
             pltpu.VMEM((bp, _K_LANES), jnp.int32),    # running top-k ids
         ]
+        if pack > 1:
+            # Per-ref-tile unpacked planes, written once (i == 0) and
+            # reused by every query tile of the same j.
+            scratch.append(pltpu.VMEM((tn, td), compute_dt))
     elif two_d:
         # One d tile covers the whole feature dim (the genotype/token
         # path): drop the size-1 kd grid axis — Mosaic pipelines the 2D
@@ -510,7 +622,7 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tq, td), qmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, td), rmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, r_td), rmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), nmap, memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -527,7 +639,8 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * np_ * dp,
-            bytes_accessed=4 * (bp * dp + (bp // tq) * np_ * dp + bp * _K_LANES),
+            bytes_accessed=4 * (bp * dp + (bp // tq) * np_ * r_td
+                                + bp * _K_LANES),
             transcendentals=0,
         ),
         interpret=interpret,

@@ -196,3 +196,41 @@ def test_token_ctx_large_ids_fall_back_to_f32():
     out2 = retrieve_tokens(self_batch, ctx, k=1)
     np.testing.assert_array_equal(np.asarray(out2["rag_seg_h1"][:, 0]),
                                   np.asarray(big[:4]))
+
+
+@pytest.mark.parametrize("pack,hi", [(8, 2), (4, 4), (2, 8)])
+def test_packed_index_matches_plain(rng, tmp_path, pack, hi):
+    """Planar-packed storage (1/pack HBM): search, masked_search, build
+    alignment, and save/load all agree with the unpacked index."""
+    r = rng.integers(0, hi, (300, 130)).astype(np.int8)
+    q = rng.integers(0, hi, (9, 130)).astype(np.int8)
+    plain = FlatL2Index.build(r.astype(np.float32))
+    packed = FlatL2Index.build(r, pack=pack, align=True)
+    assert packed.ntotal == 300 and packed.d == 130
+    assert packed.vectors.shape[1] * pack >= 130  # 1/pack the bytes
+
+    v1, i1 = plain.search(jnp.asarray(q, jnp.float32), 5)
+    v2, i2 = packed.search(q, 5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-3)
+    assert (np.asarray(i2) < 300).all()  # padded rows never retrieved
+
+    keep = rng.integers(0, 2, 130).astype(np.float32)
+    v3, i3 = plain.masked_search(jnp.asarray(q, jnp.float32),
+                                 jnp.asarray(keep), k=5)
+    v4, i4 = packed.masked_search(q, jnp.asarray(keep), k=5)
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(i4))
+    np.testing.assert_allclose(np.asarray(v3), np.asarray(v4), atol=1e-3)
+
+    path = str(tmp_path / f"packed{pack}.idx")
+    packed.save(path)
+    back = FlatL2Index.load(path)
+    assert back.pack == pack and (back.ntotal, back.d) == (300, 130)
+    v5, i5 = back.search(q, 5)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i5))
+
+
+def test_packed_build_rejects_out_of_range(rng):
+    bad = rng.integers(0, 3, (32, 40)).astype(np.int8)  # 2 >= 2^1
+    with pytest.raises(ValueError, match="admits values"):
+        FlatL2Index.build(bad, pack=8)

@@ -165,3 +165,32 @@ def test_cli_train_then_infer(tmp_path, bundle, capsys):
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["sites"] == bundle.ref.n_variants
     assert os.path.exists(out_vcf)
+
+
+def test_cli_build_query_packed(tmp_path, bundle, capsys):
+    """build-index --dtype packed: 8 genotypes/byte storage, query results
+    identical to the f32 DB (binary data -> exact either way)."""
+    from rag_snvbert_tpu.cli.main import main
+
+    ref_vcf = str(tmp_path / "ref.vcf")
+    tgt_vcf = str(tmp_path / "tgt.vcf")
+    write_simple_vcf(ref_vcf, bundle.ref)
+    write_simple_vcf(tgt_vcf, bundle.train)
+
+    outs, hits = {}, {}
+    for dt in ("f32", "packed"):
+        db = str(tmp_path / f"db_{dt}")
+        main(["build-index", "--vcf", ref_vcf, "--out", db,
+              "--window-len", "40", "--dtype", dt])
+        capsys.readouterr()
+        main(["query", "--vcf", tgt_vcf, "--db", db, "--k", "3",
+              "--verbose"])
+        lines = capsys.readouterr().out.strip().splitlines()
+        outs[dt] = json.loads(lines[-1])
+        hits[dt] = [l.split("best id")[1] for l in lines if "best id" in l]
+    assert outs["packed"]["n_queries"] == outs["f32"]["n_queries"]
+    # per-window best hit (id + distance) identical across storages
+    assert hits["packed"] == hits["f32"] and hits["f32"]
+    # the packed shards are materially smaller on disk
+    sz = lambda d: os.path.getsize(os.path.join(d, "window_0.idx.npz"))
+    assert sz(str(tmp_path / "db_packed")) < sz(str(tmp_path / "db_f32"))

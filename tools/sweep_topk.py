@@ -32,10 +32,15 @@ def main():
     ap.add_argument("--chunks", type=int, default=16)
     ap.add_argument("--order", default="auto",
                     choices=["auto", "qfirst", "rfirst"])
-    ap.add_argument("--dtype", default="int8", choices=["int8", "int4"],
+    ap.add_argument("--dtype", default="int8",
+                    choices=["int8", "int4", "packed"],
                     help="index storage dtype (int4: half the HBM bytes "
                     "and the faster 4-bit MXU path — exact for binary "
-                    "genotypes)")
+                    "genotypes; packed: planar 8-per-byte bits, 1/8 the "
+                    "HBM, unpacked in-VMEM by the kernel)")
+    ap.add_argument("--compute", default=None, choices=[None, "int8", "int4"],
+                    help="packed path MXU operand dtype (int4 = the "
+                    "296-TOPs 4-bit dot; only legal in-kernel)")
     ap.add_argument("--prepad", action="store_true", help=(
         "pad refs/norms to tile multiples BEFORE the timed call, making "
         "the kernel wrapper's jnp.pad a no-op — probe_mxu3 measured the "
@@ -54,17 +59,31 @@ def main():
         key, 0.5, (chunks, batch, d)).astype(jnp.bfloat16))
     qs = qgen(jax.random.key(1))
     fetch_scalar(qs)
-    store_dt = {"int8": jnp.int8, "int4": jnp.int4}[args.dtype]
-    idx = jax.jit(lambda r: FlatL2Index.build(r, dtype=store_dt))(refs_dev)
+    packed = args.dtype == "packed"
+    compute = {None: None, "int8": jnp.int8, "int4": jnp.int4}[args.compute]
+    if packed:
+        # align=True pre-pads rows; plane width is inherently aligned.
+        idx = jax.jit(lambda r: FlatL2Index.build(r, pack=8, align=True)
+                      )(refs_dev)
+    else:
+        store_dt = {"int8": jnp.int8, "int4": jnp.int4}[args.dtype]
+        idx = jax.jit(lambda r: FlatL2Index.build(r, dtype=store_dt)
+                      )(refs_dev)
     fetch_scalar(idx.norms)
-    print(f"data ready: N={n} d={d}", file=sys.stderr, flush=True)
+    print(f"data ready: N={n} d={d} stored={idx.vectors.shape} "
+          f"{idx.vectors.dtype}", file=sys.stderr, flush=True)
 
     def make_many(tq, tn, td):
         @jax.jit
         def search_many(vectors, norms, qs):
             def body(carry, qb):
-                v, i = l2_topk_pallas(qb, vectors, norms, k,
-                                      tq=tq, tn=tn, td=td, order=args.order)
+                if packed:
+                    v, i = l2_topk_pallas(qb, vectors, norms, k,
+                                          tq=tq, tn=tn, pack=8,
+                                          compute=compute)
+                else:
+                    v, i = l2_topk_pallas(qb, vectors, norms, k, tq=tq,
+                                          tn=tn, td=td, order=args.order)
                 return carry, (v, i)
             _, (v, i) = jax.lax.scan(body, 0, qs)
             return v, i
@@ -98,8 +117,8 @@ def main():
     for tq in map(int, args.tq.split(",")):
         for tn in map(int, args.tn.split(",")):
             for td in map(int, args.td.split(",")):
-                use, uqs = (aligned(idx, qs, tn, td) if args.prepad
-                            else (idx, qs))
+                use, uqs = (aligned(idx, qs, tn, td)
+                            if args.prepad and not packed else (idx, qs))
                 fn = make_many(tq, tn, td)
                 t0 = time.time()
                 try:
