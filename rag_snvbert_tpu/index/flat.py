@@ -123,8 +123,9 @@ class FlatL2Index:
         v = jnp.asarray(vectors)
         hi = 1 << (8 // pack)
         if not isinstance(v, jax.core.Tracer):
-            lo_v = int(jnp.min(v.astype(jnp.int32)))
-            hi_v = int(jnp.max(v.astype(jnp.int32)))
+            # min/max in the source dtype: no int32 upcast of a
+            # chromosome-scale matrix
+            lo_v, hi_v = int(jnp.min(v)), int(jnp.max(v))
             if lo_v < 0 or hi_v >= hi:
                 raise ValueError(
                     f"pack={pack} admits values in [0, {hi}); "

@@ -132,12 +132,14 @@ def pack_planar(v, pack: int):
     n, d = v.shape
     bits = 8 // pack
     d8 = _round_up(max(_cdiv(d, pack), 128), 128)
-    vp = jnp.pad(v.astype(jnp.int32), ((0, 0), (0, d8 * pack - d)))
+    # Stay in uint8 end to end: a chromosome-scale matrix upcast to int32
+    # would cost 4x the HBM of the data being packed.
+    vp = jnp.pad(v.astype(jnp.uint8), ((0, 0), (0, d8 * pack - d)))
     planes = vp.reshape(n, pack, d8)
     packed = planes[:, 0, :]
     for m in range(1, pack):
         packed = packed | (planes[:, m, :] << (m * bits))
-    return packed.astype(jnp.int8)
+    return jax.lax.bitcast_convert_type(packed, jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("pack",))
