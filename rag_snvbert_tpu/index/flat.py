@@ -30,7 +30,8 @@ from flax import struct
 
 from ..ops import l2_ref
 from ..ops.l2_topk_pallas import (default_tn, l2_topk_pallas, pack_planar,
-                                  planar_sq_norms, ref_alignment)
+                                  planar_sq_norms, planar_unpack,
+                                  ref_alignment)
 
 
 def _on_tpu(x: jax.Array) -> bool:
@@ -121,6 +122,10 @@ class FlatL2Index:
         """Planar-packed storage: pack values per int8 byte (pack=8 for
         binary genotypes, 4 for dosage 0..3, 2 for small ints <= 7)."""
         v = jnp.asarray(vectors)
+        if not jnp.issubdtype(v.dtype, jnp.integer):
+            raise TypeError(
+                f"packed storage needs integer input, got {v.dtype} "
+                "(pack_planar would silently floor floats)")
         hi = 1 << (8 // pack)
         if not isinstance(v, jax.core.Tracer):
             # min/max in the source dtype: no int32 upcast of a
@@ -170,9 +175,18 @@ class FlatL2Index:
             if approx:
                 raise ValueError("approx search needs unpacked storage")
             q = jnp.asarray(queries)
+            if use_pallas is False or not _on_tpu(self.vectors):
+                # Off-TPU (or an explicit cross-check request): unpack via
+                # XLA and run the reference matmul+topk path — the same
+                # fallback every other storage dtype gets.
+                return self._search_unpacked_fallback(q, self.norms, k)
+            if q.shape[0] > 4096:  # rfirst [B, K] state must fit VMEM
+                parts = [self.search(q[s:s + 4096], k)
+                         for s in range(0, q.shape[0], 4096)]
+                return (jnp.concatenate([p[0] for p in parts]),
+                        jnp.concatenate([p[1] for p in parts]))
             return l2_topk_pallas(q, self.vectors, self.norms, k,
-                                  pack=self.pack,
-                                  interpret=not _on_tpu(self.vectors))
+                                  pack=self.pack)
         q = jnp.asarray(queries, dtype=self.vectors.dtype)
         if q.shape[1] != self.vectors.shape[1]:  # aligned storage: pad the
             # (small) query block to the stored width; zero columns add 0
@@ -196,6 +210,17 @@ class FlatL2Index:
         if use_pallas:
             return l2_topk_pallas(q, self.vectors, self.norms, k)
         d = l2_ref.l2_distances(q, self.vectors, r_norms=self.norms)
+        return l2_ref.topk_smallest(d, k)
+
+    def _search_unpacked_fallback(self, q: jax.Array, norms: jax.Array,
+                                  k: int, packed: jax.Array | None = None
+                                  ) -> tuple[jax.Array, jax.Array]:
+        """XLA reference path for packed storage: unpack planes and run
+        the matmul + top_k oracle (off-TPU and use_pallas=False)."""
+        v = planar_unpack(self.vectors if packed is None else packed,
+                          self.pack, self.d)
+        qf = q[:, : self.d].astype(jnp.float32)
+        d = l2_ref.l2_distances(qf, v.astype(jnp.float32), r_norms=norms)
         return l2_ref.topk_smallest(d, k)
 
     def masked_search(self, queries: jax.Array, dim_mask: jax.Array, k: int,
@@ -223,8 +248,10 @@ class FlatL2Index:
             masked_norms = jnp.where(jnp.isinf(self.norms), jnp.inf,
                                      masked_norms)
             qm = jnp.asarray(queries) * m[None, : queries.shape[1]]
-            return l2_topk_pallas(qm, rm, masked_norms, k, pack=self.pack,
-                                  interpret=not _on_tpu(self.vectors))
+            if use_pallas is False or not _on_tpu(self.vectors):
+                return self._search_unpacked_fallback(qm, masked_norms, k,
+                                                      packed=rm)
+            return l2_topk_pallas(qm, rm, masked_norms, k, pack=self.pack)
         m = dim_mask.astype(self.vectors.dtype)
         qm = jnp.asarray(queries, dtype=self.vectors.dtype) * m[None, :]
         if qm.shape[1] != self.vectors.shape[1]:  # aligned storage

@@ -142,6 +142,18 @@ def pack_planar(v, pack: int):
     return jax.lax.bitcast_convert_type(packed, jnp.int8)
 
 
+@functools.partial(jax.jit, static_argnames=("pack", "d"))
+def planar_unpack(packed: jax.Array, pack: int, d: int) -> jax.Array:
+    """Inverse of pack_planar -> int8 [N, d] (XLA, for off-kernel paths:
+    the CPU/XLA search fallback and cross-checks)."""
+    bits = 8 // pack
+    mask = (1 << bits) - 1
+    p32 = packed.astype(jnp.int32)
+    planes = [((p32 >> (m * bits)) & mask).astype(jnp.int8)
+              for m in range(pack)]
+    return jnp.concatenate(planes, axis=1)[:, :d]
+
+
 @functools.partial(jax.jit, static_argnames=("pack",))
 def planar_sq_norms(packed: jax.Array, pack: int) -> jax.Array:
     """[N] f32 squared norms of planar-packed vectors (one fused pass
@@ -520,6 +532,10 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
     compute_dt = None
     if pack > 1:
         compute_dt = jnp.dtype(jnp.int8 if compute is None else compute)
+        if compute_dt == jnp.int4 and pack == 2:
+            raise ValueError(
+                "compute=int4 admits values in [-8, 7]: pack=2 planes "
+                "reach 15 and doubled queries 30 — use pack >= 4")
         if interpret and compute_dt == jnp.int4:
             compute_dt = jnp.dtype(jnp.int8)  # interpreter: no sub-byte dots
         queries = queries.astype(jnp.int8) * 2
@@ -561,7 +577,11 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
 
     two_d = dp == td
     if pack > 1:
-        assert bp <= 4096, "packed path needs the rfirst [B,K] state in VMEM"
+        if bp > 4096:
+            raise ValueError(
+                "packed path needs the rfirst [B,K] state in VMEM: "
+                f"batch {b} > 4096 — chunk the queries (FlatL2Index."
+                "search does this automatically)")
         order = "rfirst"
     elif order == "auto":
         # rfirst streams the (large) ref matrix once instead of bp/tq
@@ -641,7 +661,11 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * np_ * dp,
-            bytes_accessed=4 * (bp * dp + (bp // tq) * np_ * r_td
+            # ref stream: packed tiles are r_td bytes wide; the unpacked
+            # multi-d-tile path streams the full dp per query-tile pass
+            bytes_accessed=4 * (bp * dp
+                                + (bp // tq) * np_
+                                * (r_td if pack > 1 else dp)
                                 + bp * _K_LANES),
             transcendentals=0,
         ),

@@ -258,3 +258,48 @@ def test_kernel_interpret_fuzz_random_configs():
             if mism.any():  # id swaps only inside the quantization window
                 assert np.allclose(np.asarray(vals)[mism], ov[mism],
                                    rtol=1e-3, atol=1e-2), msg
+
+
+@pytest.mark.parametrize("pack,hi", [(8, 2), (4, 4), (2, 8)])
+def test_kernel_interpret_packed_exact(pack, hi):
+    """Planar-packed refs (pack values per byte, in-kernel unpack): must
+    be bit-exact vs the oracle — integer distances."""
+    import jax.numpy as jnp
+
+    from rag_snvbert_tpu.ops.l2_topk_pallas import (l2_topk_pallas,
+                                                    pack_planar,
+                                                    planar_unpack)
+
+    rng = np.random.default_rng(7)
+    r = rng.integers(0, hi, (700, 300)).astype(np.int8)
+    q = rng.integers(0, hi, (9, 300)).astype(np.int8)
+    rp = pack_planar(r, pack)
+    # round trip sanity
+    np.testing.assert_array_equal(
+        np.asarray(planar_unpack(rp, pack, 300)), r)
+    rn = (r.astype(np.int64) ** 2).sum(1).astype(np.float32)
+    vals, ids = l2_topk_pallas(jnp.asarray(q), rp, jnp.asarray(rn), 5,
+                               tn=128, interpret=True, pack=pack)
+    ov, oi = _oracle(q.astype(np.float32), r.astype(np.float32), 5)
+    np.testing.assert_array_equal(np.asarray(ids), oi)
+    np.testing.assert_array_equal(np.asarray(vals), ov.astype(np.float32))
+
+
+def test_kernel_packed_guards():
+    import jax.numpy as jnp
+
+    from rag_snvbert_tpu.ops.l2_topk_pallas import (l2_topk_pallas,
+                                                    pack_planar)
+
+    rng = np.random.default_rng(3)
+    r = rng.integers(0, 8, (256, 64)).astype(np.int8)
+    rp = pack_planar(r, 2)
+    rn = (r.astype(np.int64) ** 2).sum(1).astype(np.float32)
+    q = rng.integers(0, 8, (8, 64)).astype(np.int8)
+    with pytest.raises(ValueError, match="pack >= 4"):
+        l2_topk_pallas(jnp.asarray(q), rp, jnp.asarray(rn), 3,
+                       interpret=True, pack=2, compute=jnp.int4)
+    big_q = rng.integers(0, 8, (4097, 64)).astype(np.int8)
+    with pytest.raises(ValueError, match="chunk"):
+        l2_topk_pallas(jnp.asarray(big_q), rp, jnp.asarray(rn), 3,
+                       interpret=True, pack=2)

@@ -114,9 +114,10 @@ def main():
         return type(idx)(vectors=vp, norms=nrm), qp
 
     best = None
+    td_list = [0] if packed else list(map(int, args.td.split(",")))
     for tq in map(int, args.tq.split(",")):
         for tn in map(int, args.tn.split(",")):
-            for td in map(int, args.td.split(",")):
+            for td in td_list:  # packed: td is inherent, one run
                 use, uqs = (aligned(idx, qs, tn, td)
                             if args.prepad and not packed else (idx, qs))
                 fn = make_many(tq, tn, td)
