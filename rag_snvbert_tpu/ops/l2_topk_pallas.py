@@ -59,22 +59,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _K_LANES = 128   # top-k buffer lane width (k <= 128 supported)
-_ID_BITS = 11    # low mantissa bits of each key carry the within-tile lane
-# id.  11 bits allow 2048-lane ref tiles — each doubling of the ref tile
-# halves the merge-gate fires, measured round 3 as the dominant epilogue
-# cost (tn 512 -> 1024 -> 2048: 20.9 -> 16.5 -> 13.7 ms/batch).  Cost of
-# the wider id field: the f32 distance quantum is 2048 ULP (relative
-# error <= 2^-12, still under norm-expansion noise) and integer
-# distances stay lossless below the 2^20 cap.
-_ID_MASK = (1 << _ID_BITS) - 1          # 0x7FF
-_KEY_MASK = ~_ID_MASK                   # clears the id bits -> quantized dist
+_ID_BITS = 11    # default low mantissa bits of each key carrying the
+# within-tile lane id.  11 bits allow 2048-lane ref tiles — each doubling
+# of the ref tile halves the merge-gate fires, measured round 3 as the
+# dominant epilogue cost (tn 512 -> 1024 -> 2048: 20.9 -> 16.5 -> 13.7
+# ms/batch).  Cost of the wider id field: the f32 distance quantum is
+# 2^(id_bits+1) ULP (relative error <= 2^-(23-id_bits), still under
+# norm-expansion noise at 11-12 bits) and integer distances stay
+# lossless below the 2^(31-id_bits) cap.  The wrapper widens id_bits
+# automatically when tn needs it (tn=4096 -> 12 — only VMEM-feasible
+# with packed storage, where the ref tile is bytes not values).
 _MAX_KEY = 2**31 - 1  # plain int: a jnp scalar would be a captured constant
-_INF_KEY = 0x7F800000 & _KEY_MASK       # +inf distance, id bits cleared
-# Integer path: distances clamp at this cap so (dist << ID_BITS) never
-# overflows; the cap doubles as the padding sentinel (a capped key equals
-# the buffer-init key, so capped rows are never retrieved).
-_INT_DIST_CAP = _MAX_KEY >> _ID_BITS    # 0xFFFFF
-_INT_INF_KEY = _INT_DIST_CAP << _ID_BITS
+
+
+class _Keys:
+    """Key-packing constants for a given id field width (see module
+    docstring).  Plain python ints — captured as immediates by Mosaic."""
+
+    def __init__(self, id_bits: int):
+        self.bits = id_bits
+        self.id_mask = (1 << id_bits) - 1
+        self.key_mask = ~self.id_mask     # clears id bits -> quantized dist
+        self.inf_key = 0x7F800000 & self.key_mask  # +inf, id bits cleared
+        # Integer path: distances clamp at this cap so (dist << id_bits)
+        # never overflows; the cap doubles as the padding sentinel (a
+        # capped key equals the buffer-init key, so capped rows are never
+        # retrieved).
+        self.int_dist_cap = _MAX_KEY >> id_bits
+        self.int_inf_key = self.int_dist_cap << id_bits
+
+
+_DEFAULT_KEYS = _Keys(_ID_BITS)
+# Kept for external callers/tests that reference the default geometry.
+_ID_MASK = _DEFAULT_KEYS.id_mask        # 0x7FF
+_KEY_MASK = _DEFAULT_KEYS.key_mask
+_INF_KEY = _DEFAULT_KEYS.inf_key
+_INT_DIST_CAP = _DEFAULT_KEYS.int_dist_cap   # 0xFFFFF
+_INT_INF_KEY = _DEFAULT_KEYS.int_inf_key
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -178,7 +199,7 @@ def _when(cond):
 
 def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
                     acc, qn, top_keys, top_ids, *, k: int, tn: int,
-                    in_dtype, two_d: bool):
+                    in_dtype, two_d: bool, kc: _Keys = _DEFAULT_KEYS):
     j = pl.program_id(1)
     nn = pl.num_programs(1)
     if two_d:
@@ -203,7 +224,7 @@ def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
     def _():
         acc[:] = jnp.zeros_like(acc) - rn_ref[:]
 
-    inf_key = _INT_INF_KEY if integer else _INF_KEY
+    inf_key = kc.int_inf_key if integer else kc.inf_key
 
     @_when(j == 0 if two_d else jnp.logical_and(j == 0, kd == 0))
     def _():
@@ -251,7 +272,7 @@ def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
         tau = top_keys[:, k - 1 : k]                      # [TQ, 1] key space
         if integer:
             # Exact: keys compare as dist<<B|lane < tau_d<<B ⇔ dist<tau_d.
-            tau_d = tau >> _ID_BITS
+            tau_d = tau >> kc.bits
             thr = (qn[:] >> 2) - tau_d                    # [TQ, 1]
             gate = jnp.any(acc[:] > thr)
         else:
@@ -263,7 +284,7 @@ def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
             # min against the +inf bits keeps the untouched-buffer case
             # (tau = _INF_KEY) at exactly +inf instead of a NaN pattern.
             tau_next = pltpu.bitcast(
-                jnp.minimum(tau + (1 << _ID_BITS), _INF_KEY), jnp.float32)
+                jnp.minimum(tau + (1 << kc.bits), kc.inf_key), jnp.float32)
             thr = 0.25 * qn[:] - tau_next                 # [TQ, 1]
             gate = jnp.any(acc[:] > thr)
 
@@ -275,15 +296,15 @@ def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
                 # dist << ID_BITS | lane (lossless below the cap; padded
                 # rows carry cap-valued norms, so their keys clamp to
                 # inf_key and are excluded by the strict-< merge).
-                dist = jnp.clip((qn[:] >> 2) - acc[:], 0, _INT_DIST_CAP)
-                keys = (dist << _ID_BITS) | lanes
+                dist = jnp.clip((qn[:] >> 2) - acc[:], 0, kc.int_dist_cap)
+                keys = (dist << kc.bits) | lanes
             else:
                 dist = jnp.maximum(0.25 * qn[:] - acc[:], 0.0)
                 # Packed sortable keys: non-negative f32 bits are
                 # monotonic under int32 comparison; the low 10 mantissa
                 # bits become the lane id so keys are unique per row and
                 # the min encodes (dist, id).
-                keys = (pltpu.bitcast(dist, jnp.int32) & _KEY_MASK) | lanes
+                keys = (pltpu.bitcast(dist, jnp.int32) & kc.key_mask) | lanes
 
             m0 = jnp.min(keys, axis=1, keepdims=True)     # [TQ, 1]
             li = jax.lax.broadcasted_iota(jnp.int32, (tq, _K_LANES), 1)
@@ -294,12 +315,12 @@ def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
                 # quantized distance keeps the incumbent (earlier tile =
                 # smaller global id), preserving the ascending-id
                 # tie-break.
-                return jnp.any((m & _KEY_MASK) < tau_c)
+                return jnp.any((m & kc.key_mask) < tau_c)
 
             def body(carry):
                 keys_c, m, _ = carry
-                qkey = m & _KEY_MASK                      # [TQ, 1]
-                gid = j * tn + (m & _ID_MASK)             # [TQ, 1]
+                qkey = m & kc.key_mask                      # [TQ, 1]
+                gid = j * tn + (m & kc.id_mask)             # [TQ, 1]
                 # Shift-insert into the sorted buffer.  Rows whose min is
                 # not a real candidate (qkey >= tau) land at pos >= k and
                 # only disturb the non-load-bearing tail lanes.
@@ -322,8 +343,8 @@ def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
         def _():
             if integer:
                 vals_ref[:] = jnp.where(
-                    top_keys[:] >= _INT_INF_KEY, jnp.inf,
-                    (top_keys[:] >> _ID_BITS).astype(jnp.float32))
+                    top_keys[:] >= kc.int_inf_key, jnp.inf,
+                    (top_keys[:] >> kc.bits).astype(jnp.float32))
             else:
                 vals_ref[:] = pltpu.bitcast(top_keys[:], jnp.float32)
             ids_ref[:] = top_ids[:]
@@ -331,7 +352,8 @@ def _l2_topk_kernel(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
 
 def _l2_topk_kernel_rf(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
                        qn, top_keys, top_ids, *unp_scratch, k: int, tn: int,
-                       tq: int, in_dtype, pack: int = 1):
+                       tq: int, in_dtype, pack: int = 1,
+                       kc: _Keys = _DEFAULT_KEYS):
     """Refs-outermost order (round 3): the grid is (ref tiles, query
     tiles), so each ref tile streams from HBM ONCE and is reused across
     every query tile — vs the (i, j) order's bp/tq re-streams of the
@@ -359,7 +381,7 @@ def _l2_topk_kernel_rf(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
     rows = pl.ds(i * tq, tq)
     integer = jnp.issubdtype(jnp.dtype(in_dtype), jnp.integer)
     acc_t = jnp.int32 if integer else jnp.float32
-    inf_key = _INT_INF_KEY if integer else _INF_KEY
+    inf_key = kc.int_inf_key if integer else kc.inf_key
 
     if pack > 1:
         unp = unp_scratch[0]
@@ -399,11 +421,11 @@ def _l2_topk_kernel_rf(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
     qn_i = qn[rows, :]
     tau = top_keys[rows, k - 1:k]
     if integer:
-        thr = (qn_i >> 2) - (tau >> _ID_BITS)
+        thr = (qn_i >> 2) - (tau >> kc.bits)
         gate = jnp.any(a > thr)
     else:
         tau_next = pltpu.bitcast(
-            jnp.minimum(tau + (1 << _ID_BITS), _INF_KEY), jnp.float32)
+            jnp.minimum(tau + (1 << kc.bits), kc.inf_key), jnp.float32)
         thr = 0.25 * qn_i - tau_next
         gate = jnp.any(a > thr)
 
@@ -411,23 +433,23 @@ def _l2_topk_kernel_rf(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
     def _():
         lanes = jax.lax.broadcasted_iota(jnp.int32, (tq, tn), 1)
         if integer:
-            dist = jnp.clip((qn_i >> 2) - a, 0, _INT_DIST_CAP)
-            keys = (dist << _ID_BITS) | lanes
+            dist = jnp.clip((qn_i >> 2) - a, 0, kc.int_dist_cap)
+            keys = (dist << kc.bits) | lanes
         else:
             dist = jnp.maximum(0.25 * qn_i - a, 0.0)
-            keys = (pltpu.bitcast(dist, jnp.int32) & _KEY_MASK) | lanes
+            keys = (pltpu.bitcast(dist, jnp.int32) & kc.key_mask) | lanes
 
         m0 = jnp.min(keys, axis=1, keepdims=True)
         li = jax.lax.broadcasted_iota(jnp.int32, (tq, _K_LANES), 1)
 
         def cond(carry):
             _, m, tau_c = carry
-            return jnp.any((m & _KEY_MASK) < tau_c)
+            return jnp.any((m & kc.key_mask) < tau_c)
 
         def body(carry):
             keys_c, m, _ = carry
-            qkey = m & _KEY_MASK
-            gid = j * tn + (m & _ID_MASK)
+            qkey = m & kc.key_mask
+            gid = j * tn + (m & kc.id_mask)
             tk = top_keys[rows, :]
             ti = top_ids[rows, :]
             pos = jnp.sum((tk <= qkey).astype(jnp.int32),
@@ -448,8 +470,8 @@ def _l2_topk_kernel_rf(q_ref, r_ref, rn_ref, vals_ref, ids_ref,
     def _():
         tk = top_keys[rows, :]
         if integer:
-            vals_ref[:] = jnp.where(tk >= _INT_INF_KEY, jnp.inf,
-                                    (tk >> _ID_BITS).astype(jnp.float32))
+            vals_ref[:] = jnp.where(tk >= kc.int_inf_key, jnp.inf,
+                                    (tk >> kc.bits).astype(jnp.float32))
         else:
             vals_ref[:] = pltpu.bitcast(tk, jnp.float32)
         ids_ref[:] = top_ids[rows, :]
@@ -503,7 +525,6 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
         assert refs.dtype == jnp.int8, "packed refs must be int8 bytes"
         assert pack in (2, 4, 8) and r_norms.shape == (n,)
         assert d <= d2 * pack, f"queries d={d} exceed unpacked {d2 * pack}"
-    assert tn <= (1 << _ID_BITS), f"tn={tn} exceeds id-bit capacity"
 
     if interpret and refs.dtype == jnp.int4:
         # The CPU interpreter cannot lower sub-byte dots ("custom element
@@ -556,6 +577,12 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
     sub = 32 if integer else 8  # int8 sublane tiling minimum is 32
     tq = min(max(tq, sub), _round_up(max(b, sub), sub))
     tn = min(tn, _round_up(max(n, 128), 128))
+    # Widen the key id field when the ref tile needs it (tn=4096 ->
+    # 12 bits; integer distances then cap at 2^19 — still far above
+    # any genotype/token distance at d <= 4096 with small values).
+    id_bits = max(_ID_BITS, (max(tn, 2) - 1).bit_length())
+    assert id_bits <= 14, f"tn={tn} exceeds id-bit capacity"
+    kc = _DEFAULT_KEYS if id_bits == _ID_BITS else _Keys(id_bits)
     if pack > 1:
         bp, np_, dp = _round_up(b, tq), _round_up(n, tn), td
         qp = jnp.pad(queries, ((0, bp - b), (0, dp - d)))
@@ -567,10 +594,10 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
         rp = jnp.pad(refs, ((0, np_ - n), (0, dp - d)))
     # 2D [1, N] layout: 1D f32 operands trip XLA/Mosaic tiling mismatches.
     if integer:
-        rn = jnp.where(jnp.isinf(r_norms), _INT_DIST_CAP,
+        rn = jnp.where(jnp.isinf(r_norms), kc.int_dist_cap,
                        r_norms).astype(jnp.int32)
         rnp = jnp.pad(rn, (0, np_ - n),
-                      constant_values=_INT_DIST_CAP)[None, :]
+                      constant_values=kc.int_dist_cap)[None, :]
     else:
         rnp = jnp.pad(r_norms.astype(jnp.float32), (0, np_ - n),
                       constant_values=jnp.inf)[None, :]
@@ -600,7 +627,7 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
         # output blocks are not garbage-flushed once per (j, i) step.
         omap = lambda j, i: (jnp.where(j == nn_tiles - 1, i, 0), 0)
         kernel = functools.partial(
-            _l2_topk_kernel_rf, k=k, tn=tn, tq=tq, pack=pack,
+            _l2_topk_kernel_rf, k=k, tn=tn, tq=tq, pack=pack, kc=kc,
             in_dtype=compute_dt if pack > 1 else refs.dtype)
         scratch = [
             pltpu.VMEM((bp, 1),                       # query norms (per i)
@@ -628,7 +655,7 @@ def l2_topk_pallas(queries: jax.Array, refs: jax.Array, r_norms: jax.Array,
         nmap = lambda i, j, kd: (0, j)
         omap = lambda i, j, kd: (i, 0)
     if not rfirst:
-        kernel = functools.partial(_l2_topk_kernel, k=k, tn=tn,
+        kernel = functools.partial(_l2_topk_kernel, k=k, tn=tn, kc=kc,
                                    in_dtype=refs.dtype, two_d=two_d)
         scratch = [
             pltpu.VMEM((tq, tn),                      # dot-product accumulator

@@ -303,3 +303,25 @@ def test_kernel_packed_guards():
     with pytest.raises(ValueError, match="chunk"):
         l2_topk_pallas(jnp.asarray(big_q), rp, jnp.asarray(rn), 3,
                        interpret=True, pack=2)
+
+
+def test_kernel_interpret_wide_tile_id_bits():
+    """tn=4096 widens the key id field to 12 bits (fewer merge fires);
+    results stay bit-exact for integer data, packed and unpacked."""
+    import jax.numpy as jnp
+
+    from rag_snvbert_tpu.ops.l2_topk_pallas import (l2_topk_pallas,
+                                                    pack_planar)
+
+    rng = np.random.default_rng(11)
+    r = rng.integers(0, 2, (5000, 260)).astype(np.int8)
+    q = rng.integers(0, 2, (9, 260)).astype(np.int8)
+    rn = (r.astype(np.int64) ** 2).sum(1).astype(np.float32)
+    ov, oi = _oracle(q.astype(np.float32), r.astype(np.float32), 7)
+    for refs, kw in ((pack_planar(r, 8), {"pack": 8}),
+                     (jnp.asarray(r), {})):
+        vals, ids = l2_topk_pallas(jnp.asarray(q), refs, jnp.asarray(rn),
+                                   7, tn=4096, interpret=True, **kw)
+        np.testing.assert_array_equal(np.asarray(ids), oi)
+        np.testing.assert_array_equal(np.asarray(vals),
+                                      ov.astype(np.float32))
