@@ -48,8 +48,30 @@ class ShardedWindowRefContext:
     ref_af: jax.Array         # [L] replicated
 
 
+def _param_spec_key(params: Any, mesh: Mesh):
+    """(treedef, spec leaves) for the params argument of the encode
+    shard_map — P() everywhere unless the mesh runs tensor parallelism,
+    in which case encoder leaves carry their Megatron placement
+    (parallel/tp.py) so TP x sharded-index composes.  The embed stage
+    itself only touches replicated leaves (embeddings/fusion); the
+    TP-sharded encoder leaves merely pass through unused.  Both parts
+    are hashable, so the jitted shard_map stays lru-cacheable."""
+    from ..parallel.mesh import MODEL_AXIS
+
+    if mesh.shape.get(MODEL_AXIS, 1) > 1:
+        from ..parallel.tp import spec_for_path
+
+        spec_tree = jax.tree_util.tree_map_with_path(spec_for_path, params)
+    else:
+        spec_tree = jax.tree.map(lambda _: P(), params)
+    leaves, treedef = jax.tree_util.tree_flatten(
+        spec_tree, is_leaf=lambda x: isinstance(x, P))
+    return treedef, tuple(leaves)
+
+
 @functools.lru_cache(maxsize=None)
-def _encode_jit(embed_fn: Callable, mesh: Mesh, axis: str, dtype):
+def _encode_jit(embed_fn: Callable, mesh: Mesh, axis: str, dtype,
+                ptreedef=None, pspecs: tuple = ()):
     """Cached jitted shard-local encoder (params as argument, never a
     closure: closed-over device arrays lower as captured HLO constants)."""
 
@@ -63,8 +85,10 @@ def _encode_jit(embed_fn: Callable, mesh: Mesh, axis: str, dtype):
         norms = jnp.where(valid_local, norms, jnp.inf)
         return flat, norms
 
+    pspec = (P() if ptreedef is None
+             else jax.tree_util.tree_unflatten(ptreedef, list(pspecs)))
     fn = jax.shard_map(local_encode, mesh=mesh,
-                       in_specs=(P(), P(axis), P(axis), P(), P()),
+                       in_specs=(pspec, P(axis), P(axis), P(), P()),
                        out_specs=(P(axis), P(axis)),
                        check_vma=False)
     return jax.jit(fn)
@@ -96,7 +120,9 @@ def encode_window_refs_sharded(embed_fn: Callable, params: Any,
     mask_rep = jax.device_put(jnp.asarray(window_mask),
                               NamedSharding(mesh, P()))
 
-    flat, norms = _encode_jit(embed_fn, mesh, axis, dtype)(
+    ptreedef, pspecs = _param_spec_key(params, mesh)
+    flat, norms = _encode_jit(embed_fn, mesh, axis, dtype,
+                              ptreedef, pspecs)(
         params, toks_sh, valid_sh, af_rep, mask_rep)
     toks_rep = jax.device_put(toks, NamedSharding(mesh, P()))
     return ShardedWindowRefContext(ref_emb_flat=flat, ref_norms=norms,

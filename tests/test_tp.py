@@ -105,6 +105,50 @@ def test_tp_forward_matches_replicated():
 
 
 @pytest.mark.slow
+def test_tp_idx_dp_three_axis_trainer(tmp_path):
+    """All three mesh axes at once: dp2 x idx2 x tp2 training (TP params
+    + sharded retrieval context + batch sharding) matches single-device
+    training — the full large-model + chromosome-panel + throughput
+    composition in one jitted program."""
+    from rag_snvbert_tpu.data.pipeline import WindowDataset
+    from rag_snvbert_tpu.io.synthetic import make_bundle
+    from rag_snvbert_tpu.train.trainer import Trainer, TrainerConfig
+
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("need 8 cpu devices")
+
+    def build(mesh, out_dir):
+        b = make_bundle(n_train_samples=8, n_ref_samples=12, n_sites=96,
+                        n_windows=2, seed=11)
+        ds = WindowDataset(b.train, b.panel, b.freq, b.window.window_info,
+                           b.vocab, ref_vcf=b.ref, seq_len=80)
+        bert = BERTWithEmbeddingRAG(vocab_size=b.vocab.size, dims=32,
+                                    n_layers=1, attn_heads=4)
+        model = BERTFoundationModel(bert=bert)
+
+        def embed_fn(p, toks, af, deterministic, rngs=None):
+            return model.apply({"params": p}, toks, af, deterministic,
+                               method=model.embed, rngs=rngs)
+
+        cfg = TrainerConfig(epochs=1, batch_size=8, val_batch_size=8,
+                            warmup_steps=10, ref_pad_haps=32,
+                            output_dir=str(out_dir), log_freq=1000)
+        return Trainer(model, embed_fn, ds, cfg, mesh=mesh)
+
+    mesh = make_mesh(n_data=2, n_index=2, n_model=2, devices=devs[:8])
+    t3 = build(mesh, tmp_path / "three")
+    assert t3.shard_ctx, "index axis > 1 must auto-enable shard_ctx"
+    t_single = build(None, tmp_path / "single")
+
+    r3 = t3.fit()
+    r_single = t_single.fit()
+    lt = r3["history"][0]["train_loss"]
+    ls = r_single["history"][0]["train_loss"]
+    assert abs(lt - ls) / max(abs(ls), 1.0) < 1e-3
+
+
+@pytest.mark.slow
 def test_tp_restore_resumes_sharded(tmp_path):
     """A replicated (single-device) checkpoint restores into a TP
     trainer: params land model-axis sharded, the resumed epoch trains,
