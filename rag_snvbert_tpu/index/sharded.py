@@ -25,11 +25,18 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import l2_ref
-from ..ops.l2_topk_pallas import l2_topk_pallas
+from ..ops.l2_topk_pallas import (l2_topk_pallas, pack_planar,
+                                  planar_unpack)
 from ..parallel.mesh import INDEX_AXIS
 
 
-def _local_topk(queries, vectors, norms, k, use_pallas):
+def _local_topk(queries, vectors, norms, k, use_pallas, pack=1,
+                d_real=None):
+    if pack > 1 and use_pallas:
+        return l2_topk_pallas(queries, vectors, norms, k, pack=pack)
+    if pack > 1:  # XLA path: unpack the (1/pack-size) local shard
+        vectors = planar_unpack(vectors, pack, d_real).astype(jnp.float32)
+        queries = queries.astype(jnp.float32)
     if use_pallas:
         return l2_topk_pallas(queries, vectors, norms, k)
     d = l2_ref.l2_distances(queries, vectors, r_norms=norms)
@@ -65,11 +72,13 @@ def _ring_merge(vals, gids, k: int, axis: str):
 
 
 def _sharded_search_body(queries, vectors, norms, *, k: int, axis: str,
-                         use_pallas: bool, merge: str = "all_gather"):
+                         use_pallas: bool, merge: str = "all_gather",
+                         pack: int = 1, d_real: int | None = None):
     """shard_map body: runs per device with shard-local vectors/norms."""
     rows_per_shard = vectors.shape[0]
     my_shard = jax.lax.axis_index(axis)
-    vals, ids = _local_topk(queries, vectors, norms, k, use_pallas)
+    vals, ids = _local_topk(queries, vectors, norms, k, use_pallas,
+                            pack=pack, d_real=d_real)
     gids = ids + my_shard * rows_per_shard
     if merge == "ring":
         return _ring_merge(vals, gids, k, axis)
@@ -91,16 +100,19 @@ class ShardedFlatL2Index:
     """
 
     def __init__(self, mesh: Mesh, vectors: jax.Array, norms: jax.Array,
-                 ntotal: int, axis: str = INDEX_AXIS):
+                 ntotal: int, axis: str = INDEX_AXIS, pack: int = 1,
+                 d_real: int | None = None):
         self.mesh = mesh
         self.axis = axis
         self.vectors = vectors  # [N_pad, d] sharded over axis
         self.norms = norms      # [N_pad] sharded over axis
         self.ntotal = ntotal
+        self.pack = pack        # > 1: planar-packed rows (1/pack HBM)
+        self.d_real = d_real
 
     @classmethod
     def build(cls, mesh: Mesh, vectors, axis: str = INDEX_AXIS,
-              dtype=jnp.float32) -> "ShardedFlatL2Index":
+              dtype=jnp.float32, pack: int = 1) -> "ShardedFlatL2Index":
         vectors = np.asarray(vectors)
         n, d = vectors.shape
         n_shards = mesh.shape[axis]
@@ -111,10 +123,20 @@ class ShardedFlatL2Index:
         vpad[:n] = vectors
         npad = np.full(n_pad, np.inf, np.float32)
         npad[:n] = norms
-        vsh = jax.device_put(vpad.astype(dtype),
-                             NamedSharding(mesh, P(axis)))
+        if pack > 1:
+            # Planar-packed shards: 1/pack the HBM per chip — the
+            # sharding and the packing multiply (biobank-scale panels).
+            hi = 1 << (8 // pack)
+            if vectors.min() < 0 or vectors.max() >= hi:
+                raise ValueError(f"pack={pack} admits values in "
+                                 f"[0, {hi})")
+            store = np.asarray(pack_planar(vpad.astype(np.int8), pack))
+        else:
+            store = vpad.astype(dtype)
+        vsh = jax.device_put(store, NamedSharding(mesh, P(axis)))
         nsh = jax.device_put(npad, NamedSharding(mesh, P(axis)))
-        return cls(mesh, vsh, nsh, ntotal=n, axis=axis)
+        return cls(mesh, vsh, nsh, ntotal=n, axis=axis, pack=pack,
+                   d_real=d if pack > 1 else None)
 
     def search(self, queries, k: int, use_pallas: bool | None = None,
                merge: str = "all_gather") -> tuple[jax.Array, jax.Array]:
@@ -131,9 +153,11 @@ class ShardedFlatL2Index:
             b = np.asarray(queries).shape[0]
             use_pallas = (on_tpu
                           and 4 * b * local_rows > FlatL2Index._PALLAS_BYTES)
-        q = jnp.asarray(queries, dtype=self.vectors.dtype)
+        q = (jnp.asarray(queries) if self.pack > 1
+             else jnp.asarray(queries, dtype=self.vectors.dtype))
         body = partial(_sharded_search_body, k=k, axis=self.axis,
-                       use_pallas=use_pallas, merge=merge)
+                       use_pallas=use_pallas, merge=merge,
+                       pack=self.pack, d_real=self.d_real)
         fn = jax.shard_map(
             body, mesh=self.mesh,
             in_specs=(P(), P(self.axis), P(self.axis)),

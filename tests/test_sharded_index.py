@@ -52,3 +52,32 @@ def test_ring_merge_matches_all_gather(rng, n_shards):
     v_rg, i_rg = idx.search(q, k=7, merge="ring")
     np.testing.assert_array_equal(np.asarray(i_ag), np.asarray(i_rg))
     np.testing.assert_allclose(np.asarray(v_ag), np.asarray(v_rg))
+
+
+def test_sharded_packed_matches_plain():
+    """Row sharding x planar packing compose: 1/pack HBM per shard with
+    identical exact results (both merge strategies)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from rag_snvbert_tpu.index.sharded import ShardedFlatL2Index
+
+    devs = jax.devices("cpu")
+    if len(devs) < 4:
+        import pytest
+        pytest.skip("need 4 cpu devices")
+    mesh = Mesh(np.asarray(devs[:4]).reshape(1, 4), ("data", "index"))
+    rng = np.random.default_rng(5)
+    vecs = rng.integers(0, 2, (403, 130)).astype(np.float32)
+    qs = rng.integers(0, 2, (9, 130)).astype(np.float32)
+    plain = ShardedFlatL2Index.build(mesh, vecs)
+    packed = ShardedFlatL2Index.build(mesh, vecs, pack=8)
+    assert packed.vectors.shape[1] * 8 >= 130
+    for merge in ("all_gather", "ring"):
+        v1, i1 = plain.search(qs, k=5, use_pallas=False, merge=merge)
+        v2, i2 = packed.search(qs, k=5, use_pallas=False, merge=merge)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   atol=1e-3)
