@@ -1,1 +1,2 @@
 from .flat import FlatL2Index, HammingIndex
+from .sharded import ShardedFlatL2Index
