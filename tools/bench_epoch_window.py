@@ -43,6 +43,9 @@ def main():
                     "chr21-scale epoch through the real Trainer loop "
                     "(window switches, ctx re-encodes, curriculum state) "
                     "instead of the 1-window x 331 projection")
+    ap.add_argument("--log-freq", type=int, default=500,
+                    help="Trainer step-log cadence (events.jsonl under "
+                    "--output-dir; lets long epochs be monitored)")
     args = ap.parse_args()
 
     run = PRESETS[args.preset]
@@ -73,7 +76,8 @@ def main():
                         focal_gamma=run.focal_gamma, rag_k=run.rag_k,
                         ref_pad_haps=2048, curriculum_every=10_000,
                         patience=10_000, output_dir="/tmp/bench_epoch_window",
-                        log_freq=10_000, seed=0, async_checkpoints=False,
+                        log_freq=args.log_freq, seed=0,
+                        async_checkpoints=False,
                         prefetch_batches=args.prefetch,
                         steps_per_dispatch=args.scan,
                         record_step_times=True)
