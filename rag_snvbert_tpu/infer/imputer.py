@@ -230,7 +230,20 @@ class Imputer:
             _json.dump(manifest, f)
         return manifest
 
+    # Per-site features (and the mask) are constant across samples within a
+    # window: impute() ships them to the device once per window as [L] rows
+    # and _forward broadcasts on device — per-batch host->device traffic is
+    # then just the two hap token arrays (~4.5x fewer bytes per batch).
+    # Measured throughput-neutral on the remote-attached chip (the pipeline
+    # already hides transfers; steady state is forward-compute-bound) — the
+    # win is host-CPU/link headroom for multi-tenant serving.
+    _WINDOW_CONST = ("mask", "pos", "af", "af_p", "ref", "het", "hom")
+
     def _forward(self, batch: dict, ctx):
+        b = batch["hap_1"].shape[0]
+        batch = {k: (jnp.broadcast_to(v[None, :], (b, v.shape[0]))
+                     if k in self._WINDOW_CONST and v.ndim == 1 else v)
+                 for k, v in batch.items()}
         if isinstance(ctx, TokenWindowContext):
             x = retrieve_tokens(batch, ctx, self.rag_k, self.use_pallas)
         elif ctx is None:
@@ -314,6 +327,17 @@ class Imputer:
             n = e - s
             ctx = next_ctx
             toks1, toks2, mask_p, row, pos_n, af_g = next(assembled)
+            # Window-constant [L] rows go to the device ONCE per window;
+            # _forward broadcasts them to [bs, L] on device.
+            const = {"mask": mask_p, "pos": pos_n, "af": af_g,
+                     "af_p": row["af_p"], "ref": row["ref"],
+                     "het": row["het"], "hom": row["hom"]}
+            if self.mesh is not None:
+                const = {k: jax.device_put(np.ascontiguousarray(v),
+                                           self._repl)
+                         for k, v in const.items()}
+            else:
+                const = {k: jnp.asarray(v) for k, v in const.items()}
 
             def scatter(b0, b1, nb, out):
                 p1, p2, pg = out
@@ -339,26 +363,17 @@ class Imputer:
                 def pad_rows(x):
                     return np.concatenate([x, np.repeat(x[:1], pad, 0)]) \
                         if pad else x
-                batch = {
-                    "hap_1": pad_rows(toks1[b0:b1]),
-                    "hap_2": pad_rows(toks2[b0:b1]),
-                    "mask": np.broadcast_to(mask_p, (bs, L)),
-                    "pos": np.broadcast_to(pos_n, (bs, L)),
-                    "af": np.broadcast_to(af_g, (bs, L)),
-                    "af_p": np.broadcast_to(row["af_p"], (bs, L)),
-                    "ref": np.broadcast_to(row["ref"], (bs, L)),
-                    "het": np.broadcast_to(row["het"], (bs, L)),
-                    "hom": np.broadcast_to(row["hom"], (bs, L)),
-                }
+                haps = {"hap_1": pad_rows(toks1[b0:b1]),
+                        "hap_2": pad_rows(toks2[b0:b1])}
                 if self.mesh is not None:
                     # data-parallel serving: batch rows spread over the
                     # mesh, one forward spans all chips
-                    batch = {k: jax.device_put(np.ascontiguousarray(v),
-                                               self._data_sh)
-                             for k, v in batch.items()}
+                    haps = {k: jax.device_put(np.ascontiguousarray(v),
+                                              self._data_sh)
+                            for k, v in haps.items()}
                 else:
-                    batch = {k: jnp.asarray(v) for k, v in batch.items()}
-                pending.append((b0, b1, nb, fwd(batch, ctx)))
+                    haps = {k: jnp.asarray(v) for k, v in haps.items()}
+                pending.append((b0, b1, nb, fwd({**haps, **const}, ctx)))
                 if len(pending) > self.pipeline_depth:
                     scatter(*pending.pop(0))
             # All of this window's forwards are dispatched; queue the

@@ -358,6 +358,42 @@ def test_batching_service_progressive_and_errors(setup, tmp_path):
         svc.handle({"target": "/nonexistent.vcf"})
 
 
+def test_partial_batch_matches_full_batch(setup):
+    """Imputation is per-sample independent: a batch size that leaves a
+    padded trailing batch (8 samples at bs=5 -> 5+3) must reproduce the
+    full-batch result for every real sample."""
+    b, model, embed_fn, params, seq_len = setup
+    rng = np.random.default_rng(11)
+    keep = rng.random(b.train.n_variants) > 0.4
+    target = drop_sites(b.train, keep)
+    kw = dict(window_len=seq_len - 10, seq_len=seq_len, ref_pad_haps=64,
+              use_pallas=False)
+    r_full = Imputer(model, embed_fn, params, b.ref, b.freq,
+                     batch_size=8, **kw).impute(target)
+    r_part = Imputer(model, embed_fn, params, b.ref, b.freq,
+                     batch_size=5, **kw).impute(target)
+    np.testing.assert_allclose(r_part.hap1_prob, r_full.hap1_prob,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(r_part.gt_prob, r_full.gt_prob,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_disjoint_target_everything_imputed(setup):
+    """A target whose positions share nothing with the reference panel
+    (position_needed = every site) must impute the full site list with
+    proper probabilities, not crash on the empty intersection."""
+    b, model, embed_fn, params, seq_len = setup
+    target = dataclasses.replace(b.train,
+                                 pos=b.train.pos * 1000 + 7)  # disjoint
+    imp = Imputer(model, embed_fn, params, b.ref, b.freq,
+                  window_len=seq_len - 10, seq_len=seq_len,
+                  ref_pad_haps=64, batch_size=8, use_pallas=False)
+    res = imp.impute(target)
+    assert res.imputed_flag.all()
+    assert ((res.hap1_prob >= 0) & (res.hap1_prob <= 1)).all()
+    np.testing.assert_allclose(res.gt_prob.sum(-1), 1.0, atol=1e-3)
+
+
 def test_mesh_data_parallel_imputation_matches(setup):
     """Data-parallel serving: the same imputation sharded over a 4-device
     data axis must reproduce single-device results exactly (params and
