@@ -277,7 +277,8 @@ def _resolve_trainer_config(args, base):
         mask_schedule=args.mask_schedule,
         steps_per_dispatch=args.steps_per_dispatch,
         shard_ctx={"auto": "auto", "on": True, "off": False}[args.shard_ctx],
-        ctx_merge=args.ctx_merge)
+        ctx_merge=args.ctx_merge,
+        profile_dir=args.profile_dir, profile_steps=args.profile_steps)
 
 
 def cmd_train(args):
@@ -764,6 +765,11 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--mask-schedule", dest="mask_schedule",
                     choices=["level", "cosine", "linear", "exponential"],
                     default="level")
+    pt.add_argument("--profile-dir", dest="profile_dir", default=None,
+                    help="capture a TensorBoard-loadable jax.profiler "
+                         "trace of a few steady train steps into this dir")
+    pt.add_argument("--profile-steps", dest="profile_steps", type=int,
+                    default=4)
     pt.set_defaults(fn=cmd_train)
 
     def add_infer_model_args(p):

@@ -118,6 +118,13 @@ class TrainerConfig:
     # keep_checkpoints=0 keeps everything.
     async_checkpoints: bool = True
     keep_checkpoints: int = 3
+    # XLA profiler capture (the tracing endpoint SURVEY section 5 promised
+    # in place of the reference's wall-clock `timer` decorator): write a
+    # TensorBoard-loadable jax.profiler trace of ``profile_steps`` steady
+    # steps (the compile step is skipped) from the first trained epoch
+    # into ``profile_dir``.
+    profile_dir: str | None = None
+    profile_steps: int = 4
 
 
 @dataclasses.dataclass
@@ -337,6 +344,9 @@ class Trainer:
         n_batches = 0
         t0 = time.time()
         self.step_marks = [] if self.cfg.record_step_times else None
+        want_prof = bool(train and self.cfg.profile_dir
+                         and epoch == self.start_epoch)
+        prof_start_n = None
         current_wid = -1
         ctx = None
         prefetched: dict[int, object] = {}
@@ -403,10 +413,24 @@ class Trainer:
                 n_batches += 1
             if self.step_marks is not None:
                 self.step_marks.append(time.time())
+            if want_prof:
+                if prof_start_n is None and n_batches >= 1:
+                    # skip the compile step; block so the trace starts clean
+                    jax.block_until_ready(stats["loss"])
+                    jax.profiler.start_trace(self.cfg.profile_dir)
+                    prof_start_n = n_batches
+                elif (prof_start_n is not None
+                      and n_batches - prof_start_n
+                      >= self.cfg.profile_steps):
+                    float(stats["loss"])      # hard sync: steps are on-trace
+                    jax.profiler.stop_trace()
+                    want_prof = False
             if train and n_batches % self.cfg.log_freq == 0:
                 self._log({"event": "step", "epoch": epoch,
                            "batch": n_batches,
                            "loss": float(stats["loss"])})
+        if want_prof and prof_start_n is not None:  # short epoch: close out
+            jax.profiler.stop_trace()
         acc = jax.device_get(acc)             # one sync per epoch
         counters, totals = acc["counters"], acc["totals"]
         summary = metrics_lib.summarize(counters)

@@ -82,3 +82,21 @@ def test_best_symlink(setup):
     import os
     best = os.path.join(cfg.output_dir, "best")
     assert os.path.islink(best) and os.path.exists(best)
+
+
+def test_profile_trace_capture(setup, tmp_path):
+    """--profile-dir writes a TensorBoard-loadable XLA trace of a few
+    steady steps (the tracing endpoint SURVEY section 5 calls for)."""
+    import glob
+    import os
+
+    b, trainer, _ = setup
+    cfg = TrainerConfig(epochs=1, batch_size=6, val_batch_size=6,
+                        warmup_steps=20, ref_pad_haps=32,
+                        output_dir=str(tmp_path / "run"), log_freq=1000,
+                        profile_dir=str(tmp_path / "prof"), profile_steps=2)
+    t = Trainer(trainer.model, trainer.embed_fn, trainer.train_ds, cfg)
+    t.fit()
+    captured = glob.glob(os.path.join(str(tmp_path / "prof"),
+                                      "plugins", "profile", "*", "*"))
+    assert captured, "no profiler artifacts written"
