@@ -109,3 +109,5 @@ def serve_http(service: ImputationService, host: str, port: int) -> None:
         pass
     finally:
         server.server_close()
+        if hasattr(service, "close"):
+            service.close()     # stop the batching scheduler thread

@@ -144,12 +144,27 @@ class BatchingImputationService(ImputationService):
     def __post_init__(self):
         self._queue: collections.deque[_Pending] = collections.deque()
         self._cv = threading.Condition()
+        self._closed = False
         self._merged_requests = 0   # requests that rode a shared impute
         self._impute_calls = 0
         self._thread = threading.Thread(target=self._scheduler_loop,
                                         daemon=True,
                                         name="impute-scheduler")
         self._thread.start()
+
+    def close(self) -> None:
+        """Stop the scheduler thread (idempotent).  Queued requests finish
+        first; new ``handle_target`` calls are rejected."""
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._thread.join(timeout=30)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     # ---- request side ----
 
@@ -166,6 +181,8 @@ class BatchingImputationService(ImputationService):
         else:
             item = _Pending(target=target, key=self._pattern_key(target))
         with self._cv:
+            if self._closed:
+                raise RuntimeError("BatchingImputationService is closed")
             self._queue.append(item)
             self._cv.notify()
         item.done.wait()
@@ -181,6 +198,8 @@ class BatchingImputationService(ImputationService):
         otherwise empty — under load the batch forms by itself)."""
         with self._cv:
             while not self._queue:
+                if self._closed:
+                    return []
                 self._cv.wait()
             head = self._queue.popleft()
             group = [head]
@@ -240,6 +259,8 @@ class BatchingImputationService(ImputationService):
     def _scheduler_loop(self) -> None:
         while True:
             group = self._take_group()
+            if not group:       # closed and drained
+                return
             self._impute_calls += 1
             self._run_group(group)
 

@@ -336,6 +336,10 @@ def test_batching_service_merges_and_is_exact(setup, tmp_path):
     # the three same-pattern requests actually shared impute calls
     assert svc.stats["merged_requests"] >= 2
     assert svc.stats["impute_calls"] < 4
+    svc.close()                  # scheduler thread exits
+    assert not svc._thread.is_alive()
+    with pytest.raises(RuntimeError):
+        svc.handle_target(parts[0])
 
 
 def test_batching_service_progressive_and_errors(setup, tmp_path):
@@ -356,6 +360,7 @@ def test_batching_service_progressive_and_errors(setup, tmp_path):
     np.testing.assert_array_equal(res.hap1_prob, solo.hap1_prob)
     with pytest.raises(Exception):
         svc.handle({"target": "/nonexistent.vcf"})
+    svc.close()
 
 
 def test_partial_batch_matches_full_batch(setup):

@@ -133,6 +133,7 @@ def main():
 
         run_all()               # warm the merged shape
         conc_s = run_all()
+        svc.close()
         out.update({
             "concurrent_clients": n_c,
             "serialized_s": round(serial_s, 2),
