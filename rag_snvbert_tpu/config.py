@@ -126,6 +126,19 @@ PRESETS: dict[str, RunConfig] = {
                           dropout_broadcast=True,
                           flash_attention="splash:1152x1152f",
                           score_bf16=True)),
+    # Memory/compile-latency variant of tpu_default: lax.scan over layers
+    # + full-block remat.  Measured round 3 (DESIGN.md section 6): 2.7x
+    # smaller activation footprint (HBM temps 7.5 -> 2.8 GB) and 1.5x
+    # faster compile (55 -> 36 s) for a 40% slower step (173 vs 123 ms @
+    # B=24) — pick this for bigger batches/models or fast iteration, and
+    # tpu_default for production throughput.
+    "tpu_scan": RunConfig(
+        model=ModelConfig(dims=384, n_layers=12, attn_heads=3,
+                          pre_ln=True, remat=True, bf16=True,
+                          attn_dropout=0.0, scan_layers=True,
+                          dropout_broadcast=True,
+                          flash_attention="splash:1152x1152f",
+                          score_bf16=True)),
 }
 
 

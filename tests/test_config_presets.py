@@ -39,6 +39,22 @@ def test_tpu_default_forward():
     assert out[5].dtype == jnp.bfloat16  # h1_after from the encoder
 
 
+def test_tpu_scan_forward_matches_default_shapes():
+    """tpu_scan (scan over layers + block remat) is tpu_default's
+    memory/compile variant: same geometry, same output contract."""
+    cfg = get_preset("tpu_scan")
+    assert cfg.model.scan_layers and cfg.model.remat is True
+    model = cfg.build_model(vocab_size=9)
+    x = init_batch(2, 64, cfg.model.dims)
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out[0].shape == (2, 64, 2)
+    # scanned layout stacks per-layer params along a leading [n_layers]
+    blocks = params["params"]["bert"]["encoder"]["blocks"]
+    leaf = jax.tree.leaves(blocks)[0]
+    assert leaf.shape[0] == cfg.model.n_layers
+
+
 def test_cli_preset_fidelity():
     """`train --preset v17_token_rag` must adopt the v17 recipe's run
     hyperparams (VERDICT round-1 weak item 4), with explicit flags
