@@ -457,21 +457,12 @@ def _load_infer_model(args):
             score_dtype=jnp.bfloat16 if args.score_bf16 else jnp.float32)
         model = BERTFoundationModel(bert=bert)
 
-    import orbax.checkpoint as ocp
     # Trainer checkpoints hold {params, opt_state, step, epoch, level};
-    # inference needs only the params.  Restore against ShapeDtypeStruct
-    # targets derived from the checkpoint's own metadata — device-agnostic
-    # (an untargeted restore pins to the devices recorded at save time,
-    # which may not exist in this process).
-    dev = jax.config.jax_default_device or jax.devices()[0]
-    sh = jax.sharding.SingleDeviceSharding(dev)
-    with ocp.StandardCheckpointer() as ckptr:
-        path = os.path.abspath(args.model_path)
-        meta = ckptr.metadata(path).item_metadata.tree
-        abstract = jax.tree.map(
-            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sh),
-            meta)
-        restored = ckptr.restore(path, abstract)
+    # inference needs only the params.  Device-agnostic restore
+    # (utils/ckpt.py): an untargeted restore pins to the devices recorded
+    # at save time, which may not exist in this process.
+    from ..utils.ckpt import restore_tree
+    restored = restore_tree(args.model_path)
     import jax.numpy as _jnp
     params = jax.tree.map(_jnp.asarray, restored["params"])
 

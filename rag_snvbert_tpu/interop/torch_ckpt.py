@@ -619,10 +619,9 @@ def load_params_checkpoint(path: str) -> dict:
     """Restore the params tree from either a trainer checkpoint
     ({params, opt_state, step, epoch, level}) or a converted/params-only
     checkpoint ({params: ...}); plain numpy out."""
-    import orbax.checkpoint as ocp
+    from ..utils.ckpt import restore_tree
 
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.abspath(path))
+    restored = restore_tree(path)
     params = restored.get("params", restored)
     return jax_tree_to_numpy(params)
 

@@ -80,13 +80,10 @@ def compare_checkpoints(path_a: str, path_b: str, top: int = 10) -> pd.DataFrame
     """Per-parameter drift between two orbax checkpoints (the reference's
     debug_model_weights.py workflow): L2 norm of the delta and relative
     change, sorted descending."""
-    import os
+    from .ckpt import restore_tree
 
-    import orbax.checkpoint as ocp
-
-    with ocp.StandardCheckpointer() as ckptr:
-        a = ckptr.restore(os.path.abspath(path_a))
-        b = ckptr.restore(os.path.abspath(path_b))
+    a = restore_tree(path_a)
+    b = restore_tree(path_b)
 
     rows = []
 
