@@ -29,9 +29,9 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..ops import l2_ref
-from ..ops.l2_topk_pallas import (default_tn, l2_topk_pallas, pack_planar,
-                                  planar_sq_norms, planar_unpack,
-                                  ref_alignment)
+from ..ops.l2_topk_pallas import (MAX_K, default_tn, l2_topk_pallas,
+                                  pack_planar, planar_sq_norms,
+                                  planar_unpack, ref_alignment)
 
 
 def _on_tpu(x: jax.Array) -> bool:
@@ -185,6 +185,13 @@ class FlatL2Index:
             if compute is None and self.pack >= 4:
                 compute = jnp.int4
             q = jnp.asarray(queries)
+            if k > MAX_K:
+                # Kernel top-k state is 128 lanes; arbitrary k (FAISS
+                # parity, build_ref_db_l2.py:89-93) streams per-chunk
+                # unpack + merge — never materializes the unpacked matrix.
+                return l2_ref.l2_topk_streaming(
+                    q[:, : self.d], self.vectors, k, r_norms=self.norms,
+                    unpack=lambda c: planar_unpack(c, self.pack, self.d))
             if use_pallas is False or not _on_tpu(self.vectors):
                 # Off-TPU (or an explicit cross-check request): unpack via
                 # XLA and run the reference matmul+topk path — the same
@@ -213,6 +220,9 @@ class FlatL2Index:
                                              recall_target=recall_target)
             q_norms = jnp.sum(qf * qf, axis=-1, keepdims=True)
             return jnp.maximum(-negv + q_norms, 0.0), ids
+        if k > MAX_K:  # above the kernel's lane cap: bounded-memory scan
+            return l2_ref.l2_topk_streaming(q, self.vectors, k,
+                                            r_norms=self.norms)
         if use_pallas is None:
             b = q.shape[0]
             use_pallas = (_on_tpu(self.vectors)
@@ -258,6 +268,10 @@ class FlatL2Index:
             masked_norms = jnp.where(jnp.isinf(self.norms), jnp.inf,
                                      masked_norms)
             qm = jnp.asarray(queries) * m[None, : queries.shape[1]]
+            if k > MAX_K:  # arbitrary-k: same streaming route as search()
+                return l2_ref.l2_topk_streaming(
+                    qm[:, : self.d], rm, k, r_norms=masked_norms,
+                    unpack=lambda c: planar_unpack(c, self.pack, self.d))
             if use_pallas is False or not _on_tpu(self.vectors):
                 return self._search_unpacked_fallback(qm, masked_norms, k,
                                                       packed=rm)
@@ -276,6 +290,9 @@ class FlatL2Index:
                                preferred_element_type=jnp.float32)
         # Preserve tombstones: +inf rows stay +inf under the mask.
         masked_norms = jnp.where(jnp.isinf(self.norms), jnp.inf, masked_norms)
+        if k > MAX_K:  # above the kernel's lane cap: bounded-memory scan
+            return l2_ref.l2_topk_streaming(qm, self.vectors, k,
+                                            r_norms=masked_norms)
         if use_pallas is None:  # same size routing as search()
             b = qm.shape[0]
             use_pallas = (_on_tpu(self.vectors)

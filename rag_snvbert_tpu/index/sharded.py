@@ -25,13 +25,21 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import l2_ref
-from ..ops.l2_topk_pallas import (l2_topk_pallas, pack_planar,
+from ..ops.l2_topk_pallas import (MAX_K, l2_topk_pallas, pack_planar,
                                   planar_unpack)
 from ..parallel.mesh import INDEX_AXIS
 
 
 def _local_topk(queries, vectors, norms, k, use_pallas, pack=1,
                 d_real=None):
+    if k > MAX_K:
+        # Above the kernel's 128-lane top-k cap: per-shard streaming scan
+        # (arbitrary k, bounded memory), merged over ICI like any other
+        # per-shard candidate set.
+        unpack = ((lambda c: planar_unpack(c, pack, d_real))
+                  if pack > 1 else None)
+        return l2_ref.l2_topk_streaming(queries, vectors, k, r_norms=norms,
+                                        unpack=unpack)
     if pack > 1 and use_pallas:
         return l2_topk_pallas(queries, vectors, norms, k, pack=pack)
     if pack > 1:  # XLA path: unpack the (1/pack-size) local shard

@@ -265,6 +265,15 @@ class Imputer:
         ``pop``: population class for the af_p/ref/het/hom features
         (defaults to the global pool, matching inference without panel
         info)."""
+        if len(target.pos) and np.any(np.diff(target.pos) < 0):
+            # Serving inputs are untrusted: position_needed below uses
+            # searchsorted, which silently mis-marks sites on an unsorted
+            # target.  Sort every per-variant field once up front.
+            order = np.argsort(target.pos, kind="stable")
+            target = dataclasses.replace(
+                target, pos=target.pos[order], gt=target.gt[order],
+                chrom=target.chrom[order], ref=target.ref[order],
+                alt=target.alt[order], ids=target.ids[order])
         fwd = self._fwd
         n_sites = self.ref_vcf.n_variants
         n_samp = target.n_samples
@@ -295,13 +304,17 @@ class Imputer:
             known alleles where present, 0 elsewhere."""
             s, e = self.windows[w]
             miss = ~present[s:e]                      # mask = absent sites
-            rows = target_rows[s:e]
-            h1 = np.where(present[s:e][:, None],
-                          target.gt[np.minimum(rows, len(target.pos) - 1), :, 0],
-                          0).T.astype(np.int8)        # [S, n]
-            h2 = np.where(present[s:e][:, None],
-                          target.gt[np.minimum(rows, len(target.pos) - 1), :, 1],
-                          0).T.astype(np.int8)
+            if len(target.pos):
+                rows = np.minimum(target_rows[s:e], len(target.pos) - 1)
+                g1, g2 = target.gt[rows, :, 0], target.gt[rows, :, 1]
+            else:
+                # Degenerate serving input: a target VCF with zero
+                # variants (every site imputed from scratch).  The gather
+                # above would fancy-index -1 into a 0-row array; here the
+                # known-allele fields are simply all-absent.
+                g1 = g2 = np.zeros((e - s, n_samp), np.int8)
+            h1 = np.where(present[s:e][:, None], g1, 0).T.astype(np.int8)
+            h2 = np.where(present[s:e][:, None], g2, 0).T.astype(np.int8)
             mask_p = sequence_padding(miss.astype(np.int32), L)
             toks1 = tokenize(h1, mask_p, L).astype(np.int32)
             toks2 = tokenize(h2, mask_p, L).astype(np.int32)
@@ -389,15 +402,16 @@ class Imputer:
         # recomputed from hap probs, .GT.npy is gt_prob) agrees at
         # observed sites.
         known = present
-        kr = np.minimum(target_rows, max(len(target.pos) - 1, 0))
-        obs1 = target.gt[kr, :, 0].astype(np.float32)
-        obs2 = target.gt[kr, :, 1].astype(np.float32)
-        hap1[known] = obs1[known]
-        hap2[known] = obs2[known]
-        o1, o2 = obs1[known], obs2[known]
-        # class order (h1<<1)+h2: p00, p01, p10, p11
-        gtp[known] = np.stack([(1 - o1) * (1 - o2), (1 - o1) * o2,
-                               o1 * (1 - o2), o1 * o2], axis=-1)
+        if len(target.pos):  # empty target: nothing known, all imputed
+            kr = np.minimum(target_rows, len(target.pos) - 1)
+            obs1 = target.gt[kr, :, 0].astype(np.float32)
+            obs2 = target.gt[kr, :, 1].astype(np.float32)
+            hap1[known] = obs1[known]
+            hap2[known] = obs2[known]
+            o1, o2 = obs1[known], obs2[known]
+            # class order (h1<<1)+h2: p00, p01, p10, p11
+            gtp[known] = np.stack([(1 - o1) * (1 - o2), (1 - o1) * o2,
+                                   o1 * (1 - o2), o1 * o2], axis=-1)
         return ImputationResult(hap1_prob=hap1, hap2_prob=hap2, gt_prob=gtp,
                                 pos=self.ref_vcf.pos.copy(),
                                 imputed_flag=~present)

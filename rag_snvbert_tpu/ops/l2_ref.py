@@ -72,6 +72,59 @@ def l2_topk(queries: jax.Array, refs: jax.Array, k: int,
     return topk_smallest(d, k)
 
 
+def l2_topk_streaming(queries: jax.Array, refs: jax.Array, k: int,
+                      r_norms: jax.Array | None = None,
+                      chunk: int = 65536, unpack=None
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Exact L2 k-NN for ARBITRARY k without materializing [B, N]: scan
+    reference rows in ``chunk`` blocks, merging a running top-k per block
+    (same shape as hamming_topk_streaming).
+
+    The fused Pallas kernel caps k at its 128 top-k lanes
+    (l2_topk_pallas.MAX_K); FAISS takes any k (reference
+    build_ref_db_l2.py:89-93), so searches above the cap route here —
+    peak memory is [B, chunk] + [chunk, d] regardless of N, which also
+    keeps chromosome-scale large-k searches inside HBM.
+
+    ``unpack``: optional per-chunk map from stored rows to the search
+    domain (planar-packed int8 -> values), so packed indexes stream
+    without ever materializing the full unpacked matrix.  When fewer
+    than k valid rows exist, the tail is (+inf, 0) filler.
+    """
+    n = refs.shape[0]
+    chunk = min(chunk, n)
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    if r_norms is None:
+        r_norms = squared_norms(refs if unpack is None else unpack(refs))
+    rn = jnp.pad(r_norms, (0, n_pad - n), constant_values=jnp.inf)
+    rp = jnp.pad(refs, ((0, n_pad - n), (0, 0)))
+    rp = rp.reshape(n_chunks, chunk, refs.shape[1])
+    rn = rn.reshape(n_chunks, chunk)
+    bases = (jnp.arange(n_chunks) * chunk).astype(jnp.int32)
+    qf = queries.astype(jnp.float32)
+    q_norms = jnp.sum(qf * qf, axis=-1)
+    b, kc = qf.shape[0], min(k, chunk)
+
+    init = (jnp.full((b, k), jnp.inf, jnp.float32),
+            jnp.zeros((b, k), jnp.int32))
+
+    def body(carry, xs):
+        best_v, best_i = carry
+        r_c, rn_c, base = xs
+        rc = r_c if unpack is None else unpack(r_c)
+        d = l2_distances(qf, rc.astype(jnp.float32),
+                         q_norms=q_norms, r_norms=rn_c)
+        v, i = topk_smallest(d, kc)
+        bv, bi = merge_topk_smallest(
+            jnp.concatenate([best_v, v], axis=1),
+            jnp.concatenate([best_i, i + base], axis=1), k)
+        return (bv, bi), None
+
+    (bv, bi), _ = jax.lax.scan(body, init, (rp, rn, bases))
+    return bv, bi
+
+
 def masked_l2_distances(queries: jax.Array, refs: jax.Array,
                         dim_mask: jax.Array) -> jax.Array:
     """Squared L2 over a subset of dimensions (dim_mask: [d] 1=keep).

@@ -59,6 +59,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _K_LANES = 128   # top-k buffer lane width (k <= 128 supported)
+# Public cap: index wrappers route k > MAX_K to the streaming XLA path
+# (ops/l2_ref.l2_topk_streaming) — FAISS-parity arbitrary k.
+MAX_K = _K_LANES
 _ID_BITS = 11    # default low mantissa bits of each key carrying the
 # within-tile lane id.  11 bits allow 2048-lane ref tiles — each doubling
 # of the ref tile halves the merge-gate fires, measured round 3 as the

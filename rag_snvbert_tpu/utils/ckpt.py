@@ -9,7 +9,7 @@ TFRT_CPU_0 was not found``), and vice versa.  Restoring against
 places every leaf on *this* process's default device instead, so
 checkpoints move freely between hosts and backends (the reference's
 torch.load(map_location=...) behavior, e.g.
-/root/reference/src/train_v18_emb_rag.py resume path).
+/root/reference/src/train_embedding_rag.py resume path).
 """
 
 from __future__ import annotations

@@ -234,3 +234,61 @@ def test_packed_build_rejects_out_of_range(rng):
     bad = rng.integers(0, 3, (32, 40)).astype(np.int8)  # 2 >= 2^1
     with pytest.raises(ValueError, match="admits values"):
         FlatL2Index.build(bad, pack=8)
+
+
+def test_large_k_streaming_matches_oracle(rng):
+    """k above the kernel's 128-lane cap must route to the streaming XLA
+    path on EVERY storage mode and stay exact (FAISS takes arbitrary k,
+    reference build_ref_db_l2.py:89-93; the kernel asserts k <= 128)."""
+    k = 256
+    r = rng.integers(0, 2, (700, 130)).astype(np.float32)
+    q = rng.integers(0, 2, (7, 130)).astype(np.float32)
+    ref_vals, ref_ids = numpy_l2_topk(q, r, k)
+
+    for idx in (FlatL2Index.build(r),
+                FlatL2Index.build(r, align=True),
+                FlatL2Index.build(r.astype(np.int8), pack=8),
+                FlatL2Index.build(r.astype(np.int8), pack=8, align=True)):
+        vals, ids = idx.search(q if idx.pack == 1 else q.astype(np.int8),
+                               k=k)
+        assert vals.shape == (7, k) and ids.shape == (7, k)
+        assert_topk_match(np.asarray(vals), np.asarray(ids),
+                          ref_vals, ref_ids)
+
+
+def test_large_k_masked_search(rng):
+    k = 200
+    r = rng.integers(0, 2, (400, 96)).astype(np.float32)
+    q = rng.integers(0, 2, (5, 96)).astype(np.float32)
+    keep = rng.integers(0, 2, 96).astype(np.float32)
+    cols = np.flatnonzero(keep)
+    ref_vals, ref_ids = numpy_l2_topk(q[:, cols], r[:, cols], k)
+    for idx in (FlatL2Index.build(r),
+                FlatL2Index.build(r.astype(np.int8), pack=8)):
+        vals, ids = idx.masked_search(
+            q if idx.pack == 1 else q.astype(np.int8), jnp.asarray(keep),
+            k=k)
+        assert_topk_match(np.asarray(vals), np.asarray(ids),
+                          ref_vals, ref_ids)
+
+
+def test_streaming_chunking_and_short_tail(rng):
+    """Multi-chunk merge (chunk < N, chunk < k) and the fewer-than-k-valid
+    tail: (+inf, 0) filler rows, real rows exact."""
+    r = rng.standard_normal((330, 48)).astype(np.float32)
+    q = rng.standard_normal((4, 48)).astype(np.float32)
+    ref_vals, ref_ids = numpy_l2_topk(q, r, 200)
+    vals, ids = l2_ref.l2_topk_streaming(jnp.asarray(q), jnp.asarray(r),
+                                         200, chunk=100)
+    assert_topk_match(np.asarray(vals), np.asarray(ids), ref_vals, ref_ids)
+
+    # tombstone all but 150 rows: entries past 150 are +inf filler
+    norms = l2_ref.squared_norms(jnp.asarray(r))
+    norms = norms.at[150:].set(np.inf)
+    vals, ids = l2_ref.l2_topk_streaming(jnp.asarray(q), jnp.asarray(r),
+                                         200, r_norms=norms, chunk=64)
+    vals = np.asarray(vals)
+    assert np.isinf(vals[:, 150:]).all()
+    assert (np.asarray(ids)[:, :150] < 150).all()
+    rv, ri = numpy_l2_topk(q, r[:150], 150)
+    assert_topk_match(vals[:, :150], np.asarray(ids)[:, :150], rv, ri)

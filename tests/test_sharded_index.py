@@ -81,3 +81,16 @@ def test_sharded_packed_matches_plain():
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
                                    atol=1e-3)
+
+
+@pytest.mark.parametrize("merge", ["all_gather", "ring"])
+def test_sharded_large_k(rng, merge):
+    """k above the kernel's 128-lane cap: per-shard streaming scan +
+    ICI merge stays exact on both merge strategies."""
+    mesh = cpu_mesh(4)
+    r = rng.standard_normal((900, 40)).astype(np.float32)
+    q = rng.standard_normal((6, 40)).astype(np.float32)
+    idx = ShardedFlatL2Index.build(mesh, r)
+    vals, ids = idx.search(q, k=200, merge=merge)
+    ref_vals, ref_ids = numpy_l2_topk(q, r, 200)
+    assert_topk_match(np.asarray(vals), np.asarray(ids), ref_vals, ref_ids)
