@@ -18,20 +18,24 @@ import numpy as np
 import jax
 
 # Shared fixture constants (test_quality_regression.py must match).
+# The bundle is the CALIBRATED generator (round-4 VERDICT item 2): a
+# rare-heavy neutral SFS + real LD, so the rare/common F1 split — the
+# reference's headline metric — is measurable and gated.  mean_gap_bp is
+# widened so the 240-site toy span still covers several LD blocks.
 SEED = 7
-BUNDLE_KW = dict(n_train_samples=16, n_ref_samples=32, n_sites=240,
-                 n_windows=2, seed=SEED)
+BUNDLE_KW = dict(n_train_samples=24, n_ref_samples=48, n_sites=240,
+                 n_windows=2, n_founders=48, mean_gap_bp=400, seed=SEED)
 SEQ_LEN = 128
 DIMS, LAYERS, HEADS = 64, 2, 4
 
 
 def build_model_and_ds():
     from rag_snvbert_tpu.data.pipeline import WindowDataset
-    from rag_snvbert_tpu.io.synthetic import make_bundle
+    from rag_snvbert_tpu.io.synthetic import make_calibrated_bundle
     from rag_snvbert_tpu.models import (BERTFoundationModel,
                                         BERTWithEmbeddingRAG)
 
-    b = make_bundle(**BUNDLE_KW)
+    b = make_calibrated_bundle(**BUNDLE_KW)
     ds = WindowDataset(b.train, b.panel, b.freq, b.window.window_info,
                        b.vocab, ref_vcf=b.ref, seq_len=SEQ_LEN)
     bert = BERTWithEmbeddingRAG(vocab_size=b.vocab.size, dims=DIMS,
