@@ -114,13 +114,21 @@ class Imputer:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from ..parallel.mesh import DATA_AXIS
+            from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
             assert batch_size % mesh.shape[DATA_AXIS] == 0, (
                 "batch_size must divide evenly over the mesh data axis")
             self._data_sh = NamedSharding(mesh, P(DATA_AXIS))
             self._repl = NamedSharding(mesh, P())
-            self.params = jax.device_put(params, self._repl)
+            if mesh.shape.get(MODEL_AXIS, 1) > 1:
+                # serving under tensor parallelism: place the params with
+                # the Megatron shardings (parallel/tp.py) so the forward
+                # runs dp x tp — same placement rules as training.
+                from ..parallel.tp import shard_tree
+
+                self.params = shard_tree(params, mesh)
+            else:
+                self.params = jax.device_put(params, self._repl)
         # One jit wrapper for the imputer's lifetime: re-wrapping per
         # impute() call would retrace every request/progressive round.
         self._fwd = jax.jit(self._forward)
