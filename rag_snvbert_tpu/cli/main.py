@@ -679,7 +679,12 @@ def build_parser() -> argparse.ArgumentParser:
     pq.add_argument("--k", type=int, default=10)
     pq.add_argument("--mode", choices=["flat", "intersect", "partial"],
                     default="flat")
-    pq.add_argument("--hamming", action="store_true")
+    pq.add_argument("--hamming", action="store_true",
+                    help="binary XOR+popcount engine (the reference's "
+                         "IndexBinaryFlat). Exact but measured 37.6x "
+                         "slower than the default packed-L2 MXU path, "
+                         "which ranks 0/1 data identically (L2^2 == "
+                         "Hamming on bits) — see DESIGN.md")
     pq.add_argument("--verbose", action="store_true",
                     help="per-window best-hit line with neighbor "
                          "population + allele snippets (the reference's "

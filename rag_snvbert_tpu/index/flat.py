@@ -362,8 +362,14 @@ class HammingIndex:
 
     @classmethod
     def build(cls, bits) -> "HammingIndex":
-        """``bits``: [N, d] 0/1 array (unpacked)."""
-        packed = l2_ref.pack_bits(jnp.asarray(bits))
+        """``bits``: [N, d] 0/1 array (unpacked).  Host (numpy) inputs
+        are packed on the host: the device pack expands to a [N, d_pad]
+        uint32 intermediate (~5.4 GB at chromosome scale) that OOMs HBM
+        for a 170 MB result."""
+        if isinstance(bits, np.ndarray):
+            packed = jnp.asarray(l2_ref.pack_bits_np(bits))
+        else:
+            packed = l2_ref.pack_bits(jnp.asarray(bits))
         return cls(packed=packed,
                    valid=jnp.ones(packed.shape[0], dtype=bool))
 

@@ -169,6 +169,25 @@ def pack_bits(x: jax.Array) -> jax.Array:
     return jnp.sum(xp << shifts, axis=-1, dtype=jnp.uint32)
 
 
+def pack_bits_np(x: "np.ndarray") -> "np.ndarray":
+    """Host-side pack_bits (same LSB-first uint32 layout) for offline
+    index builds: the device version expands [N, d] to a [N, d_pad]
+    uint32 intermediate — ~5.4 GB at chromosome scale (664k x 2040) and
+    an HBM OOM when built eagerly — while the host has the RAM and the
+    build is not latency-sensitive."""
+    import numpy as np
+
+    d = x.shape[-1]
+    pad = (-d) % 32
+    xp = np.pad(np.asarray(x, np.uint8), [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    # np.packbits is bitorder-per-byte; little-endian uint32 view of the
+    # 4 packed bytes reproduces the LSB-first 32-bit layout.
+    words = np.packbits(xp.reshape(*x.shape[:-1], (d + pad) // 32, 4, 8),
+                        axis=-1, bitorder="little")
+    return words.reshape(*x.shape[:-1], -1).view("<u4").reshape(
+        *x.shape[:-1], (d + pad) // 32)
+
+
 def hamming_distances(q_packed: jax.Array, r_packed: jax.Array) -> jax.Array:
     """Pairwise Hamming distances [B, N] via XOR + popcount on the VPU."""
     x = jnp.bitwise_xor(q_packed[:, None, :], r_packed[None, :, :])

@@ -105,6 +105,17 @@ def test_pack_bits_roundtrip_popcount(rng):
     assert total == x.sum()
 
 
+def test_pack_bits_np_matches_device(rng):
+    """Host packing (offline builds; avoids the chromosome-scale HBM OOM
+    of the device expand) must produce bit-identical words, including
+    non-multiple-of-32 widths."""
+    for d in (100, 128, 2040, 33):
+        x = rng.integers(0, 2, (7, d))
+        np.testing.assert_array_equal(
+            l2_ref.pack_bits_np(x),
+            np.asarray(l2_ref.pack_bits(jnp.asarray(x))))
+
+
 def test_hamming_streaming_matches_direct(rng):
     """Streaming Hamming scan (bounded memory) must reproduce the direct
     [B, N, words] path exactly, including uneven chunking and tombstones."""
