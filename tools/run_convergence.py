@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--max-lr", type=float, default=7.5e-5)
     ap.add_argument("--patience", type=int, default=3)
     ap.add_argument("--log-freq", type=int, default=500)
+    ap.add_argument("--ref-pad-haps", type=int, default=2048,
+                    help="pad each window's reference set to this many "
+                    "haps (2048 = full chr21-scale panel; smaller for "
+                    "smoke runs — the padded ctx is the memory driver)")
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of 4 steady train "
                     "steps into <out>/profile (VERDICT item 7)")
@@ -88,7 +92,8 @@ def main():
         warmup_steps=args.warmup_steps, max_lr=args.max_lr,
         focal_gamma=run.focal_gamma, rag_k=run.rag_k,
         curriculum_every=args.curriculum_every, patience=args.patience,
-        ref_pad_haps=2048, output_dir=args.out, log_freq=args.log_freq,
+        ref_pad_haps=args.ref_pad_haps, output_dir=args.out,
+        log_freq=args.log_freq,
         seed=args.seed, keep_checkpoints=2,
         profile_dir=os.path.join(args.out, "profile") if args.profile
         else None)

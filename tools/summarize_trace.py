@@ -1,0 +1,101 @@
+"""Summarize a jax.profiler trace into a top-ops table (VERDICT r3
+item 7: the DESIGN section-4 MXU-utilization claims must be backed by a
+trace artifact, not wall-clock arithmetic).
+
+Reads the newest ``plugins/profile/<run>/*.trace.json.gz`` under the
+given directory (the layout ``jax.profiler.start_trace`` writes), groups
+complete events by name per track, and prints:
+
+  - total traced wall span per device track,
+  - top ops by accumulated duration with their share of the span.
+
+    python -m tools.summarize_trace runs/convergence_r4/profile
+    python -m tools.summarize_trace runs/convergence_r4/profile --top 25
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+
+def find_trace(root: str) -> str:
+    pats = sorted(glob.glob(os.path.join(
+        root, "plugins", "profile", "*", "*.trace.json.gz")))
+    if not pats:
+        pats = sorted(glob.glob(os.path.join(root, "**", "*.trace.json.gz"),
+                                recursive=True))
+    if not pats:
+        sys.exit(f"no *.trace.json.gz under {root}")
+    return pats[-1]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dir")
+    ap.add_argument("--top", type=int, default=20)
+    ap.add_argument("--track", default=None,
+                    help="only tracks whose process name matches this "
+                    "regex (default: every device-ish track)")
+    args = ap.parse_args()
+
+    path = find_trace(args.dir)
+    print(f"trace: {path}", file=sys.stderr)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", data if isinstance(data, list) else [])
+
+    # process/thread names arrive as metadata events
+    pnames: dict = {}
+    tnames: dict = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pnames[e["pid"]] = e["args"].get("name", str(e["pid"]))
+        elif e.get("ph") == "M" and e.get("name") == "thread_name":
+            tnames[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+
+    want = re.compile(args.track) if args.track else None
+    per_track = collections.defaultdict(
+        lambda: (collections.Counter(), collections.Counter()))
+    span = collections.defaultdict(lambda: [float("inf"), 0.0])
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        pname = pnames.get(e["pid"], str(e["pid"]))
+        if want and not want.search(pname):
+            continue
+        tname = tnames.get((e["pid"], e.get("tid")), "")
+        key = f"{pname} / {tname}" if tname else pname
+        durs, counts = per_track[key]
+        durs[e["name"]] += e["dur"]
+        counts[e["name"]] += 1
+        lo, hi = span[key]
+        span[key] = [min(lo, e["ts"]), max(hi, e["ts"] + e["dur"])]
+
+    for key in sorted(per_track,
+                      key=lambda k: -sum(per_track[k][0].values())):
+        durs, counts = per_track[key]
+        total_us = sum(durs.values())
+        lo, hi = span[key]
+        wall_us = hi - lo
+        # host python/runtime tracks dwarf device tracks by event count but
+        # carry no op-level signal; keep the table to busy tracks.
+        if total_us < 1000:
+            continue
+        print(f"\n== {key}: {total_us / 1e3:.2f} ms busy over "
+              f"{wall_us / 1e3:.2f} ms span "
+              f"({100 * total_us / max(wall_us, 1):.0f}% occupancy)")
+        print(f"{'op':60s} {'calls':>6s} {'total ms':>9s} {'%busy':>6s}")
+        for name, us in durs.most_common(args.top):
+            print(f"{name[:60]:60s} {counts[name]:6d} {us / 1e3:9.2f} "
+                  f"{100 * us / total_us:6.1f}")
+
+
+if __name__ == "__main__":
+    main()
