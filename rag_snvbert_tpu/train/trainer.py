@@ -502,7 +502,13 @@ class Trainer:
                    "opt_state": self.state.opt_state,
                    "step": np.asarray(self.state.step),
                    "epoch": np.asarray(epoch),
-                   "level": np.asarray(self.level)}
+                   "level": np.asarray(self.level),
+                   # Early-stop tracker: without it a resumed run resets
+                   # patience and trivially re-crowns "best" (observed in
+                   # the round-4 artifact's resume leg).
+                   "es_best": np.asarray(self.stopper.best),
+                   "es_best_epoch": np.asarray(self.stopper.best_epoch),
+                   "es_bad_epochs": np.asarray(self.stopper.bad_epochs)}
         ckptr.save(path, payload, force=True)
         if not self.cfg.async_checkpoints:
             ckptr.wait_until_finished()
@@ -569,7 +575,18 @@ class Trainer:
                       "step": np.asarray(self.state.step),
                       "epoch": np.asarray(0),
                       "level": np.asarray(0)}
-            restored = ckptr.restore(os.path.abspath(path), target)
+            # Stopper state was added after round 4; restore it when the
+            # checkpoint has it, tolerate checkpoints that predate it.
+            es_target = {**target, "es_best": np.asarray(0.0),
+                         "es_best_epoch": np.asarray(0),
+                         "es_bad_epochs": np.asarray(0)}
+            try:
+                restored = ckptr.restore(os.path.abspath(path), es_target)
+                self.stopper.best = float(restored["es_best"])
+                self.stopper.best_epoch = int(restored["es_best_epoch"])
+                self.stopper.bad_epochs = int(restored["es_bad_epochs"])
+            except Exception:
+                restored = ckptr.restore(os.path.abspath(path), target)
         self.state = self.state.replace(params=restored["params"],
                                         opt_state=restored["opt_state"],
                                         step=int(restored["step"]))

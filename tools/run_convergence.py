@@ -47,11 +47,21 @@ def main():
     ap.add_argument("--val-fraction", type=float, default=0.05)
     ap.add_argument("--seed", type=int, default=21)
     ap.add_argument("--curriculum-every", type=int, default=1,
-                    help="epochs per mask-curriculum level bump (1 so a "
-                    "short run still shows level interaction)")
+                    help="epochs per mask-curriculum level bump.  The "
+                    "reference bumps every 2 (train_embedding_rag.py:"
+                    "415-431), which reaches the 80%% terminal level at "
+                    "epoch 10; default 1 compresses the same 6-level "
+                    "schedule into 6 epochs so a single-day run exercises "
+                    "the full range INCLUDING the hard-mask regime — the "
+                    "per-level behavior is identical, only the dwell time "
+                    "per level differs")
     ap.add_argument("--warmup-steps", type=int, default=3000)
     ap.add_argument("--max-lr", type=float, default=7.5e-5)
-    ap.add_argument("--patience", type=int, default=3)
+    ap.add_argument("--patience", type=int, default=5,
+                    help="early-stop patience (5 = reference default, "
+                    "pretrain_with_val_optimized.py:490-522)")
+    ap.add_argument("--min-delta", type=float, default=0.001,
+                    help="early-stop min improvement (reference default)")
     ap.add_argument("--log-freq", type=int, default=500)
     ap.add_argument("--ref-pad-haps", type=int, default=2048,
                     help="pad each window's reference set to this many "
@@ -92,6 +102,7 @@ def main():
         warmup_steps=args.warmup_steps, max_lr=args.max_lr,
         focal_gamma=run.focal_gamma, rag_k=run.rag_k,
         curriculum_every=args.curriculum_every, patience=args.patience,
+        min_delta=args.min_delta,
         ref_pad_haps=args.ref_pad_haps, output_dir=args.out,
         log_freq=args.log_freq,
         seed=args.seed, keep_checkpoints=2,
@@ -119,7 +130,12 @@ def main():
                "windows": args.windows, "resumed_from": tr.start_epoch
                if args.resume else 0,
                "wall_minutes": round((time.time() - t0) / 60, 1)}
-    with open(os.path.join(args.out, "summary.json"), "a") as f:
+    # summary.json always holds exactly the LATEST summary (valid JSON for
+    # json.load); the per-invocation history (original + resumes) appends
+    # to summary_history.jsonl.
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        f.write(json.dumps(summary) + "\n")
+    with open(os.path.join(args.out, "summary_history.jsonl"), "a") as f:
         f.write(json.dumps(summary) + "\n")
     print(json.dumps(summary))
 
