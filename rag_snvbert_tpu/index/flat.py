@@ -193,8 +193,12 @@ class FlatL2Index:
             q = jnp.asarray(queries)
             if k > MAX_K:
                 # Kernel top-k state is 128 lanes; arbitrary k (FAISS
-                # parity, build_ref_db_l2.py:89-93) streams per-chunk
-                # unpack + merge — never materializes the unpacked matrix.
+                # parity: IndexFlatL2.search takes any k — the reference
+                # calls it with caller-chosen top_k, test_faiss.py:135's
+                # index.search(batch_data_1d, args.top_k) — so no cap is
+                # acceptable here)
+                # streams per-chunk unpack + merge — never materializes
+                # the unpacked matrix.
                 return l2_ref.l2_topk_streaming(
                     q[:, : self.d], self.vectors, k, r_norms=self.norms,
                     unpack=lambda c: planar_unpack(c, self.pack, self.d))

@@ -198,6 +198,21 @@ class Imputer:
                                   jnp.asarray(wmask),
                                   valid=jnp.asarray(valid))
 
+    @staticmethod
+    def _sorted_target(target: VCFData) -> VCFData:
+        """Normalize an untrusted serving target to sorted positions.
+
+        Every present/missing computation below uses searchsorted, which
+        silently mis-marks sites on an unsorted target — normalize once
+        at each public entry point (impute, save_window_indexes)."""
+        if len(target.pos) and np.any(np.diff(target.pos) < 0):
+            order = np.argsort(target.pos, kind="stable")
+            target = dataclasses.replace(
+                target, pos=target.pos[order], gt=target.gt[order],
+                chrom=target.chrom[order], ref=target.ref[order],
+                alt=target.alt[order], ids=target.ids[order])
+        return target
+
     def save_window_indexes(self, out_dir: str, target: VCFData) -> dict:
         """Persist per-window embedding-space indexes to disk.
 
@@ -215,6 +230,7 @@ class Imputer:
         from ..index.flat import FlatL2Index
 
         os.makedirs(out_dir, exist_ok=True)
+        target = self._sorted_target(target)
         found = np.searchsorted(target.pos, self.ref_vcf.pos)
         found = np.clip(found, 0, max(len(target.pos) - 1, 0))
         present = (target.pos[found] == self.ref_vcf.pos) \
@@ -273,15 +289,7 @@ class Imputer:
         ``pop``: population class for the af_p/ref/het/hom features
         (defaults to the global pool, matching inference without panel
         info)."""
-        if len(target.pos) and np.any(np.diff(target.pos) < 0):
-            # Serving inputs are untrusted: position_needed below uses
-            # searchsorted, which silently mis-marks sites on an unsorted
-            # target.  Sort every per-variant field once up front.
-            order = np.argsort(target.pos, kind="stable")
-            target = dataclasses.replace(
-                target, pos=target.pos[order], gt=target.gt[order],
-                chrom=target.chrom[order], ref=target.ref[order],
-                alt=target.alt[order], ids=target.ids[order])
+        target = self._sorted_target(target)
         fwd = self._fwd
         n_sites = self.ref_vcf.n_variants
         n_samp = target.n_samples

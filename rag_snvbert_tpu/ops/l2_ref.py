@@ -95,9 +95,17 @@ def l2_topk_streaming(queries: jax.Array, refs: jax.Array, k: int,
     chunk = min(chunk, n)
     n_chunks = -(-n // chunk)
     n_pad = n_chunks * chunk
-    if r_norms is None:
-        r_norms = squared_norms(refs if unpack is None else unpack(refs))
-    rn = jnp.pad(r_norms, (0, n_pad - n), constant_values=jnp.inf)
+    # With ``unpack`` and no precomputed norms, compute norms per chunk
+    # inside the scan body — precomputing squared_norms(unpack(refs)) would
+    # materialize the full unpacked matrix in one shot, breaking the
+    # bounded-memory contract above (round-4 advisor finding).
+    norms_in_body = r_norms is None and unpack is not None
+    if r_norms is None and not norms_in_body:
+        r_norms = squared_norms(refs)
+    if norms_in_body:
+        rn = jnp.zeros(n_pad, jnp.float32)       # recomputed per chunk
+    else:
+        rn = jnp.pad(r_norms, (0, n_pad - n), constant_values=jnp.inf)
     rp = jnp.pad(refs, ((0, n_pad - n), (0, 0)))
     rp = rp.reshape(n_chunks, chunk, refs.shape[1])
     rn = rn.reshape(n_chunks, chunk)
@@ -113,8 +121,13 @@ def l2_topk_streaming(queries: jax.Array, refs: jax.Array, k: int,
         best_v, best_i = carry
         r_c, rn_c, base = xs
         rc = r_c if unpack is None else unpack(r_c)
-        d = l2_distances(qf, rc.astype(jnp.float32),
-                         q_norms=q_norms, r_norms=rn_c)
+        rcf = rc.astype(jnp.float32)
+        if norms_in_body:
+            # padded rows (global id >= n) get +inf so they sort last,
+            # matching the precomputed path's inf padding
+            valid = (base + jnp.arange(chunk)) < n
+            rn_c = jnp.where(valid, jnp.sum(rcf * rcf, axis=-1), jnp.inf)
+        d = l2_distances(qf, rcf, q_norms=q_norms, r_norms=rn_c)
         v, i = topk_smallest(d, kc)
         bv, bi = merge_topk_smallest(
             jnp.concatenate([best_v, v], axis=1),
