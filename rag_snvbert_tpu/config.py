@@ -139,6 +139,15 @@ PRESETS: dict[str, RunConfig] = {
                           dropout_broadcast=True,
                           flash_attention="splash:1152x1152f",
                           score_bf16=True)),
+    # Minimal embedding-RAG model for CPU smoke drives and fast local
+    # iteration: same architecture/flow as tpu_default (pre-LN, embedding
+    # RAG, bf16) at ~1/500 the step cost.  seq_len 138 keeps the 10-token
+    # special-token layout with a 128-site window.
+    "smoke": RunConfig(
+        model=ModelConfig(dims=64, n_layers=2, attn_heads=2, seq_len=138,
+                          pre_ln=True, bf16=True, attn_dropout=0.0),
+        batch_size=8, val_batch_size=8, grad_accum_steps=1,
+        warmup_steps=20),
 }
 
 

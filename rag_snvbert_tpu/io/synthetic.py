@@ -29,6 +29,13 @@ class SyntheticBundle:
     freq: FreqTable
     window: Window
     vocab: Vocab
+    # Generative internals of make_calibrated_bundle (None for make_bundle):
+    # founder matrix, genetic map, and copying-process parameters — consumed
+    # by tools/oracle_ceiling.py's Li&Stephens posterior decoder to measure
+    # the panel's achievable (Bayes-ish) imputation ceiling.  Purely
+    # additive: exposing them does not perturb the rng stream, so bundles
+    # are bit-identical to pre-truth rounds.
+    truth: dict | None = None
 
 
 def _founders(rng, n_pops, n_sites, n_founders_per_pop=4, maf_low=0.02):
@@ -263,9 +270,19 @@ def make_calibrated_bundle(n_train_samples: int = 24,
                     starts + per)
     window = Window(np.stack([starts, ends], axis=1).astype(np.int64))
     vocab = Vocab.from_panel_pops(lab_tr)
+    per_bp_rate = per_bp
+    pop_weights = {}
+    for p, name in enumerate(pops):
+        w = np.where(pop_of_founder == p, 0.95, 0.05)
+        pop_weights[name] = w / w.sum()
+    truth = {"founders": founders, "gmap": gmap,
+             "switch_gd": switch_kb * 1e3 * per_bp_rate,
+             "block_gd": block_kb * 1e3 * per_bp_rate, "mu": mu,
+             "per_bp": per_bp_rate,
+             "pop_of_founder": pop_of_founder, "pop_weights": pop_weights}
     return SyntheticBundle(train=vcf_of(gt_tr, s_tr), ref=vcf_of(gt_rf, s_rf),
                            panel=panel, ref_panel=ref_panel, freq=freq,
-                           window=window, vocab=vocab)
+                           window=window, vocab=vocab, truth=truth)
 
 
 def make_bundle(n_train_samples: int = 24, n_ref_samples: int = 40,
