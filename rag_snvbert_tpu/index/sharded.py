@@ -32,6 +32,18 @@ from ..parallel.mesh import INDEX_AXIS
 
 def _local_topk(queries, vectors, norms, k, use_pallas, pack=1,
                 d_real=None):
+    # A shard can contribute at most its own row count: clamp the local
+    # top-k when k > rows_per_shard (small shards under a wide mesh) and
+    # pad the candidate set back to [B, k] with the (+inf, 0) filler the
+    # streaming paths use — the cross-shard merge then sees fixed-width
+    # sets and filler never outranks a real candidate.
+    k_local = min(k, vectors.shape[0])
+    if k_local < k:
+        vals, ids = _local_topk(queries, vectors, norms, k_local,
+                                use_pallas, pack=pack, d_real=d_real)
+        padw = ((0, 0), (0, k - k_local))
+        return (jnp.pad(vals, padw, constant_values=jnp.inf),
+                jnp.pad(ids, padw, constant_values=0))
     if k > MAX_K:
         # Above the kernel's 128-lane top-k cap: per-shard streaming scan
         # (arbitrary k, bounded memory), merged over ICI like any other
