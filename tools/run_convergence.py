@@ -30,6 +30,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 from rag_snvbert_tpu.config import PRESETS
 from rag_snvbert_tpu.data.pipeline import WindowDataset
 from rag_snvbert_tpu.io.synthetic import make_calibrated_bundle
@@ -45,6 +47,17 @@ def main():
     ap.add_argument("--samples", type=int, default=1004)
     ap.add_argument("--ref-samples", type=int, default=1004)
     ap.add_argument("--val-fraction", type=float, default=0.05)
+    ap.add_argument("--train-subsample", type=int, default=0,
+                    help="if >0, deterministically subsample the TRAIN "
+                    "cohort to this many samples AFTER the stratified "
+                    "split.  The panel, reference haplotypes, windows and "
+                    "val split stay bit-identical to the un-subsampled "
+                    "run (the bundle is a pure fn of --seed/shapes), so "
+                    "val F1 remains directly comparable across runs and "
+                    "against tools/oracle_ceiling.py; only epoch "
+                    "wall-clock shrinks.  Used by the round-5 "
+                    "run-to-termination artifact to fit ~11 epochs in "
+                    "the round's wall-clock budget")
     ap.add_argument("--seed", type=int, default=21)
     ap.add_argument("--curriculum-every", type=int, default=1,
                     help="epochs per mask-curriculum level bump.  The "
@@ -89,6 +102,13 @@ def main():
     print(f"panel built in {time.time() - t0:.0f}s", file=sys.stderr)
     train_ids, val_ids = b.panel.split_stratified(args.val_fraction,
                                                   seed=args.seed)
+    if args.train_subsample and args.train_subsample < len(train_ids):
+        rng = np.random.default_rng(args.seed)
+        keep = rng.choice(len(train_ids), args.train_subsample,
+                          replace=False)
+        train_ids = np.sort(np.asarray(train_ids)[keep])
+        print(f"train cohort subsampled to {len(train_ids)} "
+              f"(val split unchanged: {len(val_ids)})", file=sys.stderr)
     ds = WindowDataset(b.train, b.panel, b.freq, b.window.window_info,
                        b.vocab, ref_vcf=b.ref, seq_len=seq_len)
     model = run.build_model(b.vocab.size)
