@@ -217,6 +217,13 @@ def main():
     ap.add_argument("--panel-mu", type=float, default=1e-3,
                     help="emission error for ls_panel (> generator mu: "
                     "panel haps carry their own private mutations)")
+    ap.add_argument("--limit-windows", type=int, default=0,
+                    help="if >0, decode only the first N windows of the "
+                    "SAME full panel (the bundle is still built with "
+                    "--windows, so sites/AF/masks are unchanged) — a "
+                    "window-sampled estimate of the ceiling for decoders "
+                    "too slow to run genome-wide on this host (ls_panel "
+                    "is O(sites*haps*2S) per window)")
     ap.add_argument("--out", default=None, help="write the JSON here too")
     args = ap.parse_args()
 
@@ -256,6 +263,8 @@ def main():
 
     t0 = time.time()
     for wi, meta in enumerate(ds.windows):
+        if args.limit_windows and wi >= args.limit_windows:
+            break
         sites = meta.site_slice.start + meta.valid_idx   # global site idx
         af = ds.window_af(meta)
         maf = np.minimum(af, 1.0 - af)

@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--track", default=None,
                     help="only tracks whose process name matches this "
                     "regex (default: every device-ish track)")
+    ap.add_argument("--classes", action="store_true",
+                    help="also print an op-CLASS table for the XLA Ops "
+                    "track: ops grouped by name with the trailing "
+                    ".<id> stripped (fusion.839 -> fusion), i.e. the "
+                    "layout-vs-arithmetic breakdown used in DESIGN §4")
     args = ap.parse_args()
 
     path = find_trace(args.dir)
@@ -101,6 +106,21 @@ def main():
         for name, us in durs.most_common(args.top):
             print(f"{name[:60]:60s} {counts[name]:6d} {us / 1e3:9.2f} "
                   f"{100 * us / total_us:6.1f}")
+        if args.classes and "XLA Ops" in key:
+            by_class: collections.Counter = collections.Counter()
+            n_class: collections.Counter = collections.Counter()
+            n_steps = 0
+            for name, us in durs.items():
+                cls = re.sub(r"\.\d+$", "", name)
+                by_class[cls] += us
+                n_class[cls] += counts[name]
+                n_steps = max(n_steps, counts[name])
+            print(f"\ntotal XLA-op time {total_us / 1e3:.1f} ms over "
+                  f"{n_steps} steps = {total_us / 1e3 / n_steps:.1f} "
+                  f"ms/step")
+            for cls, us in by_class.most_common(args.top):
+                print(f"{cls[:45]:45s} {n_class[cls]:6d} "
+                      f"{us / 1e3:9.2f} ms {100 * us / total_us:5.1f}%")
 
 
 if __name__ == "__main__":
