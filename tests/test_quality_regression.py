@@ -116,5 +116,10 @@ def test_rare_and_common_f1_gates(imputed):
 
     rare_f1 = _hap_f1(calls[:, rare], truth[:, rare])
     common_f1 = _hap_f1(calls[:, ~rare], truth[:, ~rare])
-    assert rare_f1 >= 0.60, f"rare-variant F1 regressed: {rare_f1:.4f}"
-    assert common_f1 >= 0.90, f"common-variant F1 regressed: {common_f1:.4f}"
+    # Thresholds recalibrated after tools/oracle_ceiling.py measured the
+    # chr21-scale panel's rare-bin Bayes ceiling (0.9708, round-5): the
+    # gate is deterministic (stored ckpt, fixed rng), so 0.70/0.93 keeps
+    # <10% headroom under the measured 0.765/0.959 instead of the
+    # original 21% band that could hide a real rare-quality regression.
+    assert rare_f1 >= 0.70, f"rare-variant F1 regressed: {rare_f1:.4f}"
+    assert common_f1 >= 0.93, f"common-variant F1 regressed: {common_f1:.4f}"
